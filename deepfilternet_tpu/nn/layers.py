@@ -1,0 +1,521 @@
+"""Functional NN layers with torch-compatible parameter layouts.
+
+Every layer is a pair of pure functions: ``init_*(key, ...) -> params`` and
+``*_apply(params, x, ...) -> out``. Parameter arrays use the same shapes and
+layouts as the reference's torch modules (df/modules.py) so that released
+checkpoints map 1:1 through the converter in `checkpoint.py`:
+
+  * conv weight   [O, I/groups, kT, kF]   (+ optional pointwise [O, O, 1, 1])
+  * convT weight  [I, O/groups, kT, kF]
+  * linear weight [O, I], bias [O]
+  * GRU per layer weight_ih [3H, I], bias_ih [3H], weight_hh [3H, H],
+    bias_hh [3H], gate order (reset, update, new) — torch convention
+  * grouped linear weight [G, I/G, H/G] (einsum btgi,gih->btgh)
+  * batchnorm scale/bias/running_mean/running_var [C]
+
+Recurrent layers ship both an offline form (input projections batched into
+one big MXU matmul, then a `lax.scan` over the small recurrent update) and a
+single-frame `*_step` form used by the streaming cell.
+
+BatchNorm state (running stats) lives in a separate `state` pytree threaded
+through training applies; inference uses the stored stats (torch eval
+semantics).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Params = Dict[str, Any]
+
+# ---------------------------------------------------------------------------
+# initializers (torch defaults)
+# ---------------------------------------------------------------------------
+
+
+def _kaiming_uniform(key, shape, fan_in):
+    # torch kaiming_uniform_(a=sqrt(5)) => bound = sqrt(6/((1+5)*fan_in)) = 1/sqrt(fan_in)
+    bound = 1.0 / math.sqrt(fan_in) if fan_in > 0 else 0.0
+    return jax.random.uniform(key, shape, jnp.float32, -bound, bound)
+
+
+def _uniform(key, shape, bound):
+    return jax.random.uniform(key, shape, jnp.float32, -bound, bound)
+
+
+# ---------------------------------------------------------------------------
+# activations
+# ---------------------------------------------------------------------------
+
+ACT = {
+    "relu": jax.nn.relu,
+    "sigmoid": jax.nn.sigmoid,
+    "tanh": jnp.tanh,
+    "identity": lambda x: x,
+    None: lambda x: x,
+}
+
+
+# ---------------------------------------------------------------------------
+# batch norm 2d
+# ---------------------------------------------------------------------------
+
+
+def init_batchnorm(c: int) -> Tuple[Params, Params]:
+    params = {"scale": jnp.ones((c,)), "bias": jnp.zeros((c,))}
+    state = {"mean": jnp.zeros((c,)), "var": jnp.ones((c,))}
+    return params, state
+
+
+def batchnorm_apply(
+    params: Params,
+    state: Params,
+    x: jnp.ndarray,
+    train: bool,
+    momentum: float = 0.1,
+    eps: float = 1e-5,
+) -> Tuple[jnp.ndarray, Params]:
+    """x: [B, C, T, F]; normalizes over (B, T, F) per channel."""
+    if train:
+        mean = jnp.mean(x, axis=(0, 2, 3))
+        var = jnp.var(x, axis=(0, 2, 3))
+        n = x.shape[0] * x.shape[2] * x.shape[3]
+        unbiased = var * n / max(n - 1, 1)
+        new_state = {
+            "mean": (1 - momentum) * state["mean"] + momentum * mean,
+            "var": (1 - momentum) * state["var"] + momentum * unbiased,
+        }
+    else:
+        mean, var = state["mean"], state["var"]
+        new_state = state
+    inv = jax.lax.rsqrt(var + eps)
+    out = (x - mean[None, :, None, None]) * inv[None, :, None, None]
+    out = out * params["scale"][None, :, None, None] + params["bias"][None, :, None, None]
+    return out, new_state
+
+
+# ---------------------------------------------------------------------------
+# causal Conv2d block: pad -> conv -> [pointwise] -> [bn] -> [act]
+# (reference Conv2dNormAct, df/modules.py:18-73)
+# ---------------------------------------------------------------------------
+
+
+def _conv_groups(in_ch: int, out_ch: int, kernel: Tuple[int, int], separable: bool) -> int:
+    groups = math.gcd(in_ch, out_ch) if separable else 1
+    if groups == 1 or max(kernel) == 1:
+        groups = 1 if not separable else groups
+    if max(kernel) == 1:
+        groups = 1
+    return groups
+
+
+def init_conv2d_norm_act(
+    key,
+    in_ch: int,
+    out_ch: int,
+    kernel: Tuple[int, int],
+    fstride: int = 1,
+    dilation: int = 1,
+    fpad: bool = True,
+    bias: bool = True,
+    separable: bool = False,
+    norm: bool = True,
+    act: Optional[str] = "relu",
+) -> Tuple[Params, Params, Dict]:
+    """Returns (params, state, static_config)."""
+    kernel = tuple(kernel)
+    groups = _conv_groups(in_ch, out_ch, kernel, separable)
+    has_pw = separable and groups > 1 and max(kernel) > 1
+    k1, k2, k3 = jax.random.split(key, 3)
+    fan_in = (in_ch // groups) * kernel[0] * kernel[1]
+    params: Params = {
+        "w": _kaiming_uniform(k1, (out_ch, in_ch // groups, kernel[0], kernel[1]), fan_in)
+    }
+    if bias:
+        params["b"] = _uniform(k2, (out_ch,), 1.0 / math.sqrt(fan_in))
+    if has_pw:
+        params["pw"] = _kaiming_uniform(k3, (out_ch, out_ch, 1, 1), out_ch)
+    state: Params = {}
+    if norm:
+        bn_p, bn_s = init_batchnorm(out_ch)
+        params["bn"] = bn_p
+        state["bn"] = bn_s
+    cfg = dict(
+        kernel=kernel,
+        fstride=fstride,
+        dilation=dilation,
+        fpad=(kernel[1] // 2 + dilation - 1) if fpad else 0,
+        groups=groups,
+        act=act,
+        norm=norm,
+        transposed=False,
+    )
+    return params, state, cfg
+
+
+def _conv2d_raw(x, w, groups, fstride, dilation, fpad_lr):
+    return jax.lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(1, fstride),
+        padding=((0, 0), fpad_lr),
+        rhs_dilation=(1, dilation),
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        feature_group_count=groups,
+    )
+
+
+def conv2d_norm_act_apply(
+    params: Params, state: Params, cfg: Dict, x: jnp.ndarray, train: bool = False
+) -> Tuple[jnp.ndarray, Params]:
+    """Offline apply. x: [B, C, T, F] -> [B, O, T, F'] (causal in time)."""
+    kt = cfg["kernel"][0]
+    if kt > 1:
+        x = jnp.pad(x, ((0, 0), (0, 0), (kt - 1, 0), (0, 0)))
+    out = _conv2d_raw(
+        x, params["w"], cfg["groups"], cfg["fstride"], cfg["dilation"], (cfg["fpad"], cfg["fpad"])
+    )
+    if "b" in params:
+        out = out + params["b"][None, :, None, None]
+    if "pw" in params:
+        out = _conv2d_raw(out, params["pw"], 1, 1, 1, (0, 0))
+    new_state = dict(state)
+    if cfg["norm"]:
+        out, new_state["bn"] = batchnorm_apply(params["bn"], state["bn"], out, train)
+    return ACT[cfg["act"]](out), new_state
+
+
+def conv2d_norm_act_step(
+    params: Params, state: Params, cfg: Dict, x_win: jnp.ndarray
+) -> jnp.ndarray:
+    """Streaming apply on one frame. x_win: [B, C, kT, F] (time window ending
+    at the current frame) -> [B, O, F']. Inference only (BN eval stats)."""
+    out = _conv2d_raw(
+        x_win, params["w"], cfg["groups"], cfg["fstride"], cfg["dilation"], (cfg["fpad"], cfg["fpad"])
+    )
+    if "b" in params:
+        out = out + params["b"][None, :, None, None]
+    if "pw" in params:
+        out = _conv2d_raw(out, params["pw"], 1, 1, 1, (0, 0))
+    if cfg["norm"]:
+        out, _ = batchnorm_apply(params["bn"], state["bn"], out, train=False)
+    return ACT[cfg["act"]](out)[:, :, 0, :]
+
+
+# ---------------------------------------------------------------------------
+# causal ConvTranspose2d block (reference ConvTranspose2dNormAct,
+# df/modules.py:76-127): frequency upsampling decoder convs
+# ---------------------------------------------------------------------------
+
+
+def init_conv_transpose2d_norm_act(
+    key,
+    in_ch: int,
+    out_ch: int,
+    kernel: Tuple[int, int],
+    fstride: int = 1,
+    dilation: int = 1,
+    fpad: bool = True,
+    bias: bool = True,
+    separable: bool = False,
+    norm: bool = True,
+    act: Optional[str] = "relu",
+) -> Tuple[Params, Params, Dict]:
+    kernel = tuple(kernel)
+    groups = math.gcd(in_ch, out_ch) if separable else 1
+    if groups == 1:
+        separable = False
+    has_pw = separable and groups > 1
+    k1, k2, k3 = jax.random.split(key, 3)
+    # torch ConvTranspose2d weight: [I, O/groups, kT, kF]; fan_in for init is
+    # computed from size(1)*k = (O/groups)*kT*kF
+    fan_in = (out_ch // groups) * kernel[0] * kernel[1]
+    params: Params = {
+        "w": _kaiming_uniform(k1, (in_ch, out_ch // groups, kernel[0], kernel[1]), fan_in)
+    }
+    if bias:
+        params["b"] = _uniform(k2, (out_ch,), 1.0 / math.sqrt(fan_in))
+    if has_pw:
+        params["pw"] = _kaiming_uniform(k3, (out_ch, out_ch, 1, 1), out_ch)
+    state: Params = {}
+    if norm:
+        bn_p, bn_s = init_batchnorm(out_ch)
+        params["bn"] = bn_p
+        state["bn"] = bn_s
+    cfg = dict(
+        kernel=kernel,
+        fstride=fstride,
+        dilation=dilation,
+        fpad=(kernel[1] // 2) if fpad else 0,
+        groups=groups,
+        act=act,
+        norm=norm,
+        transposed=True,
+    )
+    return params, state, cfg
+
+
+def _conv_transpose2d_raw(x, w, groups, fstride, kernel, fpad, dilation):
+    """Equivalent dense conv for torch ConvTranspose2d with
+    padding=(kT-1, fpad + dilation - 1), output_padding=(0, fpad),
+    stride=(1, fstride).
+
+    Implemented as an input-dilated convolution with the spatially flipped,
+    channel-transposed kernel. Time axis: pad_l = pad_r = 0 given the
+    preceding causal ConstantPad (kT-1 left) — output length T preserved.
+    Freq axis: pad_l = d(k-1) - p, pad_r = d(k-1) - p + output_padding.
+    """
+    kt, kf = kernel
+    p_f = fpad + dilation - 1
+    out_pad_f = fpad
+    pad_f_l = dilation * (kf - 1) - p_f
+    pad_f_r = dilation * (kf - 1) - p_f + out_pad_f
+    p_t = kt - 1
+    pad_t_l = kt - 1 - p_t
+    pad_t_r = kt - 1 - p_t
+    # torch weight [I, O/g, kt, kf] -> flip spatial, to grouped-OIHW:
+    # for each group g of input channels, output block uses w[gI:(g+1)I].
+    i_ch = x.shape[1]
+    w_flip = w[:, :, ::-1, ::-1]
+    # Rearrange to [O, I/g, kt, kf]: out channels = g * (O/g); input block per
+    # group has I/g channels. torch groups split the *input* channels.
+    ig = i_ch // groups
+    og = w.shape[1]
+    w_r = w_flip.reshape(groups, ig, og, kt, kf).transpose(0, 2, 1, 3, 4).reshape(
+        groups * og, ig, kt, kf
+    )
+    return jax.lax.conv_general_dilated(
+        x,
+        w_r,
+        window_strides=(1, 1),
+        padding=((pad_t_l, pad_t_r), (pad_f_l, pad_f_r)),
+        lhs_dilation=(1, fstride),
+        rhs_dilation=(1, dilation),
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        feature_group_count=groups,
+    )
+
+
+def conv_transpose2d_norm_act_apply(
+    params: Params, state: Params, cfg: Dict, x: jnp.ndarray, train: bool = False
+) -> Tuple[jnp.ndarray, Params]:
+    kt = cfg["kernel"][0]
+    if kt > 1:
+        x = jnp.pad(x, ((0, 0), (0, 0), (kt - 1, 0), (0, 0)))
+    out = _conv_transpose2d_raw(
+        x, params["w"], cfg["groups"], cfg["fstride"], cfg["kernel"], cfg["fpad"], cfg["dilation"]
+    )
+    if "b" in params:
+        out = out + params["b"][None, :, None, None]
+    if "pw" in params:
+        out = _conv2d_raw(out, params["pw"], 1, 1, 1, (0, 0))
+    new_state = dict(state)
+    if cfg["norm"]:
+        out, new_state["bn"] = batchnorm_apply(params["bn"], state["bn"], out, train)
+    return ACT[cfg["act"]](out), new_state
+
+
+def conv_transpose2d_norm_act_step(
+    params: Params, state: Params, cfg: Dict, x_win: jnp.ndarray
+) -> jnp.ndarray:
+    """Streaming single-frame apply; x_win: [B, C, kT, F]."""
+    out = _conv_transpose2d_raw(
+        x_win, params["w"], cfg["groups"], cfg["fstride"], cfg["kernel"], cfg["fpad"], cfg["dilation"]
+    )
+    if "b" in params:
+        out = out + params["b"][None, :, None, None]
+    if "pw" in params:
+        out = _conv2d_raw(out, params["pw"], 1, 1, 1, (0, 0))
+    if cfg["norm"]:
+        out, _ = batchnorm_apply(params["bn"], state["bn"], out, train=False)
+    return ACT[cfg["act"]](out)[:, :, 0, :]
+
+
+# ---------------------------------------------------------------------------
+# linear / grouped linear
+# ---------------------------------------------------------------------------
+
+
+def init_linear(key, in_dim: int, out_dim: int, bias: bool = True) -> Params:
+    k1, k2 = jax.random.split(key)
+    p = {"w": _kaiming_uniform(k1, (out_dim, in_dim), in_dim)}
+    if bias:
+        p["b"] = _uniform(k2, (out_dim,), 1.0 / math.sqrt(in_dim))
+    return p
+
+
+def linear_apply(params: Params, x: jnp.ndarray) -> jnp.ndarray:
+    out = x @ params["w"].T
+    if "b" in params:
+        out = out + params["b"]
+    return out
+
+
+def init_grouped_linear(key, in_dim: int, out_dim: int, groups: int = 1) -> Params:
+    """GroupedLinearEinsum (df/modules.py:741-780): weight [G, I/G, H/G]."""
+    assert in_dim % groups == 0 and out_dim % groups == 0
+    ws = in_dim // groups
+    return {"w": _kaiming_uniform(key, (groups, ws, out_dim // groups), ws)}
+
+
+def grouped_linear_apply(params: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """x: [..., I] -> [..., H]."""
+    g, ws, hs = params["w"].shape
+    xg = x.reshape(x.shape[:-1] + (g, ws))
+    out = jnp.einsum("...gi,gih->...gh", xg, params["w"])
+    return out.reshape(x.shape[:-1] + (g * hs,))
+
+
+# ---------------------------------------------------------------------------
+# GRU (torch gate conventions)
+# ---------------------------------------------------------------------------
+
+
+def init_gru(key, input_size: int, hidden_size: int, num_layers: int = 1) -> Params:
+    layers = []
+    bound = 1.0 / math.sqrt(hidden_size)
+    for li in range(num_layers):
+        key, k1, k2, k3, k4 = jax.random.split(key, 5)
+        isz = input_size if li == 0 else hidden_size
+        layers.append(
+            {
+                "w_ih": _uniform(k1, (3 * hidden_size, isz), bound),
+                "w_hh": _uniform(k2, (3 * hidden_size, hidden_size), bound),
+                "b_ih": _uniform(k3, (3 * hidden_size,), bound),
+                "b_hh": _uniform(k4, (3 * hidden_size,), bound),
+            }
+        )
+    return {"layers": layers}
+
+
+def _gru_cell(h, gi, ghw, b_hh, hidden_size):
+    """One step given precomputed input gates gi = x W_ih^T + b_ih.
+
+    ghw: W_hh^T (transposed for right-multiply). Torch gate order r, z, n.
+    """
+    gh = h @ ghw + b_hh
+    i_r, i_z, i_n = jnp.split(gi, 3, axis=-1)
+    h_r, h_z, h_n = jnp.split(gh, 3, axis=-1)
+    r = jax.nn.sigmoid(i_r + h_r)
+    z = jax.nn.sigmoid(i_z + h_z)
+    n = jnp.tanh(i_n + r * h_n)
+    return (1.0 - z) * n + z * h
+
+
+def gru_apply(
+    params: Params, x: jnp.ndarray, h0: Optional[jnp.ndarray] = None
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Offline GRU. x: [B, T, I]; h0: [L, B, H]. Returns (out [B,T,H], hN).
+
+    Input projections for all timesteps are batched into one matmul per
+    layer (MXU-friendly); only the small recurrent update is scanned.
+    """
+    layers = params["layers"]
+    num_layers = len(layers)
+    b, t, _ = x.shape
+    hidden = layers[0]["w_hh"].shape[1]
+    if h0 is None:
+        h0 = jnp.zeros((num_layers, b, hidden), x.dtype)
+    h_finals = []
+    out = x
+    for li, lp in enumerate(layers):
+        gi = out @ lp["w_ih"].T + lp["b_ih"]  # [B, T, 3H]
+        ghw = lp["w_hh"].T
+        b_hh = lp["b_hh"]
+
+        def step(h, gi_t):
+            h_new = _gru_cell(h, gi_t, ghw, b_hh, hidden)
+            return h_new, h_new
+
+        hN, outs = jax.lax.scan(step, h0[li], jnp.moveaxis(gi, 1, 0))
+        out = jnp.moveaxis(outs, 0, 1)
+        h_finals.append(hN)
+    return out, jnp.stack(h_finals, axis=0)
+
+
+def gru_step(
+    params: Params, h: jnp.ndarray, x: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Single frame. x: [B, I]; h: [L, B, H]. Returns (h', out [B, H])."""
+    layers = params["layers"]
+    hidden = layers[0]["w_hh"].shape[1]
+    out = x
+    new_h = []
+    for li, lp in enumerate(layers):
+        gi = out @ lp["w_ih"].T + lp["b_ih"]
+        h_new = _gru_cell(h[li], gi, lp["w_hh"].T, lp["b_hh"], hidden)
+        new_h.append(h_new)
+        out = h_new
+    return jnp.stack(new_h, axis=0), out
+
+
+# ---------------------------------------------------------------------------
+# SqueezedGRU_S (df/modules.py:705-738): grouped linear in -> GRU ->
+# grouped linear out; skip connection applied after linear_out, fed by the
+# raw input (the _S variant).
+# ---------------------------------------------------------------------------
+
+
+def init_squeezed_gru_s(
+    key,
+    input_size: int,
+    hidden_size: int,
+    output_size: Optional[int] = None,
+    num_layers: int = 1,
+    linear_groups: int = 8,
+    skip: Optional[str] = None,  # None | "identity" | "groupedlinear"
+    linear_act: Optional[str] = "relu",
+) -> Tuple[Params, Dict]:
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    params: Params = {
+        "linear_in": init_grouped_linear(k1, input_size, hidden_size, linear_groups),
+        "gru": init_gru(k2, hidden_size, hidden_size, num_layers),
+    }
+    if output_size is not None:
+        params["linear_out"] = init_grouped_linear(k3, hidden_size, output_size, linear_groups)
+    if skip == "groupedlinear":
+        out_sz = output_size if output_size is not None else hidden_size
+        params["skip"] = init_grouped_linear(k4, input_size, out_sz, linear_groups)
+    cfg = dict(
+        skip=skip,
+        linear_act=linear_act,
+        num_layers=num_layers,
+        hidden_size=hidden_size,
+    )
+    return params, cfg
+
+
+def squeezed_gru_s_apply(
+    params: Params, cfg: Dict, x: jnp.ndarray, h0: Optional[jnp.ndarray] = None
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    act = ACT[cfg["linear_act"]]
+    xin = act(grouped_linear_apply(params["linear_in"], x))
+    out, h = gru_apply(params["gru"], xin, h0)
+    if "linear_out" in params:
+        out = act(grouped_linear_apply(params["linear_out"], out))
+    if cfg["skip"] == "identity":
+        out = out + x
+    elif cfg["skip"] == "groupedlinear":
+        out = out + grouped_linear_apply(params["skip"], x)
+    return out, h
+
+
+def squeezed_gru_s_step(
+    params: Params, cfg: Dict, h: jnp.ndarray, x: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    act = ACT[cfg["linear_act"]]
+    xin = act(grouped_linear_apply(params["linear_in"], x))
+    h_new, out = gru_step(params["gru"], h, xin)
+    if "linear_out" in params:
+        out = act(grouped_linear_apply(params["linear_out"], out))
+    if cfg["skip"] == "identity":
+        out = out + x
+    elif cfg["skip"] == "groupedlinear":
+        out = out + grouped_linear_apply(params["skip"], x)
+    return h_new, out
