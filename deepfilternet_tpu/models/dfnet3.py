@@ -1,0 +1,508 @@
+"""DeepFilterNet3: encoder + ERB-mask decoder + DF-coefficient decoder.
+
+Architecture parity with the reference (df/deepfilternet3.py:100-456):
+
+  Encoder: erb_conv0..3 (freq strides 1,2,2,1) over ERB features, df_conv0..1
+  over re/im complex features, grouped-linear df_fc_emb folding the complex
+  path into the embedding, Add/Concat combine, SqueezedGRU_S embedding GRU,
+  sigmoid LSNR head scaled to [lsnr_min, lsnr_max].
+  ErbDecoder: 1-layer SqueezedGRU_S + transposed-conv pathway with 1x1
+  pathway convs from the encoder skips, sigmoid mask output.
+  DfDecoder: 3-layer SqueezedGRU_S + df_convp pathway, grouped-linear +
+  tanh coefficient head emitting [B, T, F', O*2].
+
+Two execution modes over one parameter set:
+  * `forward`: offline [B, T, ...] for training and batch enhancement;
+  * `streaming_cell` + `streaming_init`: a per-frame step with explicit
+    carry (conv time-context windows, GRU hiddens, DF ring buffer, feature
+    norm states, STFT memories) designed to be driven by `lax.scan` — the
+    TPU-native replacement for the reference's tract PulsedModel runtime.
+
+All jit boundaries use real-valued re/im-split tensors; complex arithmetic
+stays interior to the compiled program (the axon TPU runtime does not
+transfer complex arrays across the host boundary).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deepfilternet_tpu.config import DfParams, config
+from deepfilternet_tpu.nn import (
+    conv2d_norm_act_apply,
+    conv2d_norm_act_step,
+    conv_transpose2d_norm_act_apply,
+    conv_transpose2d_norm_act_step,
+    grouped_linear_apply,
+    init_conv2d_norm_act,
+    init_conv_transpose2d_norm_act,
+    init_grouped_linear,
+    init_linear,
+    init_squeezed_gru_s,
+    linear_apply,
+    squeezed_gru_s_apply,
+    squeezed_gru_s_step,
+)
+from deepfilternet_tpu.ops import erb_fb_matrices, erb_widths
+from deepfilternet_tpu.ops.df_op import deep_filter, deep_filter_offline
+from deepfilternet_tpu.ops.postfilter import post_filter_mask
+
+PI = 3.1415926535897932384626433
+
+
+class ModelParams3(DfParams):
+    """deepfilternet section hyperparameters (deepfilternet3.py:25-78)."""
+
+    section = "deepfilternet"
+
+    def __init__(self):
+        super().__init__()
+        s = self.section
+        self.conv_lookahead: int = config("CONV_LOOKAHEAD", cast=int, default=0, section=s)
+        self.conv_ch: int = config("CONV_CH", cast=int, default=16, section=s)
+        self.conv_kernel = tuple(
+            int(v) for v in str(config("CONV_KERNEL", default="1,3", section=s)).split(",")
+        )
+        self.convt_kernel = tuple(
+            int(v) for v in str(config("CONVT_KERNEL", default="1,3", section=s)).split(",")
+        )
+        self.conv_kernel_inp = tuple(
+            int(v) for v in str(config("CONV_KERNEL_INP", default="3,3", section=s)).split(",")
+        )
+        self.emb_hidden_dim: int = config("EMB_HIDDEN_DIM", cast=int, default=256, section=s)
+        self.emb_num_layers: int = config("EMB_NUM_LAYERS", cast=int, default=2, section=s)
+        self.emb_gru_skip_enc: str = config("EMB_GRU_SKIP_ENC", default="none", section=s)
+        self.emb_gru_skip: str = config("EMB_GRU_SKIP", default="none", section=s)
+        self.df_hidden_dim: int = config("DF_HIDDEN_DIM", cast=int, default=256, section=s)
+        self.df_gru_skip: str = config("DF_GRU_SKIP", default="none", section=s)
+        self.df_pathway_kernel_size_t: int = config(
+            "DF_PATHWAY_KERNEL_SIZE_T", cast=int, default=1, section=s
+        )
+        self.enc_concat: bool = config("ENC_CONCAT", cast=bool, default=False, section=s)
+        self.df_num_layers: int = config("DF_NUM_LAYERS", cast=int, default=3, section=s)
+        self.df_n_iter: int = config("DF_N_ITER", cast=int, default=1, section=s)
+        self.lin_groups: int = config("LINEAR_GROUPS", cast=int, default=1, section=s)
+        self.enc_lin_groups: int = config("ENC_LINEAR_GROUPS", cast=int, default=16, section=s)
+        self.mask_pf: bool = config("MASK_PF", cast=bool, default=False, section=s)
+        self.pf_beta: float = config("PF_BETA", cast=float, default=0.02, section=s)
+        self.lsnr_dropout: bool = config("LSNR_DROPOUT", cast=bool, default=False, section=s)
+
+
+def _skip_kind(name: str) -> Optional[str]:
+    name = (name or "none").lower()
+    return None if name == "none" else name
+
+
+def init_dfnet3(key, p: Optional[ModelParams3] = None) -> Tuple[Dict, Dict, Dict]:
+    """Initialize all parameters. Returns (params, state, cfg).
+
+    cfg holds the static layer configs + hyperparameters needed by apply.
+    """
+    p = p or ModelParams3()
+    assert p.nb_erb % 8 == 0, "erb_bins should be divisible by 8"
+    ch = p.conv_ch
+    emb_io_dim = ch * p.nb_erb // 4  # encoder output embedding width
+    df_out_ch = p.df_order * 2
+
+    keys = iter(jax.random.split(key, 32))
+    params: Dict[str, Any] = {}
+    state: Dict[str, Any] = {}
+    layer_cfg: Dict[str, Any] = {}
+
+    def add_conv(name, *args, **kw):
+        prm, st, c = init_conv2d_norm_act(next(keys), *args, **kw)
+        params[name] = prm
+        if st:
+            state[name] = st
+        layer_cfg[name] = c
+
+    def add_convt(name, *args, **kw):
+        prm, st, c = init_conv_transpose2d_norm_act(next(keys), *args, **kw)
+        params[name] = prm
+        if st:
+            state[name] = st
+        layer_cfg[name] = c
+
+    # ---- encoder (deepfilternet3.py:103-185)
+    add_conv("erb_conv0", 1, ch, p.conv_kernel_inp, bias=False, separable=True)
+    add_conv("erb_conv1", ch, ch, p.conv_kernel, fstride=2, bias=False, separable=True)
+    add_conv("erb_conv2", ch, ch, p.conv_kernel, fstride=2, bias=False, separable=True)
+    add_conv("erb_conv3", ch, ch, p.conv_kernel, fstride=1, bias=False, separable=True)
+    add_conv("df_conv0", 2, ch, p.conv_kernel_inp, bias=False, separable=True)
+    add_conv("df_conv1", ch, ch, p.conv_kernel, fstride=2, bias=False, separable=True)
+    params["df_fc_emb"] = init_grouped_linear(
+        next(keys), ch * p.nb_df // 2, emb_io_dim, groups=p.enc_lin_groups
+    )
+    emb_in_dim = emb_io_dim * 2 if p.enc_concat else emb_io_dim
+    params["enc_emb_gru"], layer_cfg["enc_emb_gru"] = init_squeezed_gru_s(
+        next(keys),
+        emb_in_dim,
+        p.emb_hidden_dim,
+        output_size=emb_io_dim,
+        num_layers=1,
+        linear_groups=p.lin_groups,
+        skip=_skip_kind(p.emb_gru_skip_enc),
+        linear_act="relu",
+    )
+    params["lsnr_fc"] = init_linear(next(keys), emb_io_dim, 1)
+
+    # ---- erb decoder (deepfilternet3.py:188-254)
+    params["dec_emb_gru"], layer_cfg["dec_emb_gru"] = init_squeezed_gru_s(
+        next(keys),
+        emb_io_dim,
+        p.emb_hidden_dim,
+        output_size=emb_io_dim,
+        num_layers=p.emb_num_layers - 1,
+        linear_groups=p.lin_groups,
+        skip=_skip_kind(p.emb_gru_skip),
+        linear_act="relu",
+    )
+    add_conv("conv3p", ch, ch, (1, 1), bias=False, separable=True)
+    add_conv("convt3", ch, ch, p.conv_kernel, bias=False, separable=True)
+    add_conv("conv2p", ch, ch, (1, 1), bias=False, separable=True)
+    add_convt("convt2", ch, ch, p.convt_kernel, fstride=2, bias=False, separable=True)
+    add_conv("conv1p", ch, ch, (1, 1), bias=False, separable=True)
+    add_convt("convt1", ch, ch, p.convt_kernel, fstride=2, bias=False, separable=True)
+    add_conv("conv0p", ch, ch, (1, 1), bias=False, separable=True)
+    add_conv("conv0_out", ch, 1, p.conv_kernel, bias=False, separable=True, act="sigmoid")
+
+    # ---- df decoder (deepfilternet3.py:278-331)
+    params["df_gru"], layer_cfg["df_gru"] = init_squeezed_gru_s(
+        next(keys),
+        emb_io_dim,
+        p.df_hidden_dim,
+        output_size=None,
+        num_layers=p.df_num_layers,
+        linear_groups=p.lin_groups,
+        skip=None,
+        linear_act="relu",
+    )
+    df_skip = _skip_kind(p.df_gru_skip)
+    if df_skip == "groupedlinear":
+        params["df_skip"] = init_grouped_linear(
+            next(keys), emb_io_dim, p.df_hidden_dim, groups=p.lin_groups
+        )
+    kt = p.df_pathway_kernel_size_t
+    add_conv("df_convp", ch, df_out_ch, (kt, 1), bias=False, separable=True)
+    params["df_out"] = init_grouped_linear(
+        next(keys), p.df_hidden_dim, p.nb_df * df_out_ch, groups=p.lin_groups
+    )
+    params["df_fc_a"] = init_linear(next(keys), p.df_hidden_dim, 1)
+
+    widths = erb_widths(p.sr, p.fft_size, p.nb_erb, p.min_nb_freqs)
+    cfg = dict(
+        layers=layer_cfg,
+        nb_erb=p.nb_erb,
+        nb_df=p.nb_df,
+        df_order=p.df_order,
+        df_lookahead=p.df_lookahead,
+        conv_ch=ch,
+        emb_io_dim=emb_io_dim,
+        enc_concat=p.enc_concat,
+        df_gru_skip=df_skip,
+        lsnr_min=p.lsnr_min,
+        lsnr_max=p.lsnr_max,
+        mask_pf=p.mask_pf,
+        pf_beta=p.pf_beta,
+        freq_bins=p.fft_size // 2 + 1,
+        erb_widths=widths,
+        erb_inv_fb=np.asarray(erb_fb_matrices(widths, normalized=True, inverse=True)),
+        conv_kernel_inp=p.conv_kernel_inp,
+        df_pathway_kt=kt,
+        emb_num_layers=p.emb_num_layers,
+        df_num_layers=p.df_num_layers,
+        emb_hidden_dim=p.emb_hidden_dim,
+        df_hidden_dim=p.df_hidden_dim,
+    )
+    return params, state, cfg
+
+
+# ---------------------------------------------------------------------------
+# offline forward
+# ---------------------------------------------------------------------------
+
+
+def _encoder(params, state, L, cfg, feat_erb, feat_spec, train):
+    """feat_erb: [B,1,T,E]; feat_spec: [B,2,T,F'] -> (e0..e3, emb, c0, lsnr)."""
+    ns = dict(state)
+
+    def conv(name, x):
+        out, st = conv2d_norm_act_apply(params[name], state.get(name, {}), L[name], x, train)
+        if name in state:
+            ns[name] = st
+        return out
+
+    e0 = conv("erb_conv0", feat_erb)
+    e1 = conv("erb_conv1", e0)
+    e2 = conv("erb_conv2", e1)
+    e3 = conv("erb_conv3", e2)
+    c0 = conv("df_conv0", feat_spec)
+    c1 = conv("df_conv1", c0)
+    b, _, t, _ = c1.shape
+    cemb = jnp.transpose(c1, (0, 2, 3, 1)).reshape(b, t, -1)  # [B,T,F'/2*C]
+    cemb = jax.nn.relu(grouped_linear_apply(params["df_fc_emb"], cemb))
+    emb = jnp.transpose(e3, (0, 2, 3, 1)).reshape(b, t, -1)  # [B,T,E/4*C]
+    if cfg["enc_concat"]:
+        emb = jnp.concatenate([emb, cemb], axis=-1)
+    else:
+        emb = emb + cemb
+    emb, _ = squeezed_gru_s_apply(params["enc_emb_gru"], L["enc_emb_gru"], emb)
+    lsnr = jax.nn.sigmoid(linear_apply(params["lsnr_fc"], emb))
+    lsnr = lsnr * (cfg["lsnr_max"] - cfg["lsnr_min"]) + cfg["lsnr_min"]
+    return e0, e1, e2, e3, emb, c0, lsnr, ns
+
+
+def _erb_decoder(params, state, L, cfg, emb, e3, e2, e1, e0, train):
+    ns = dict(state)
+
+    def conv(name, x):
+        fn = (
+            conv_transpose2d_norm_act_apply
+            if L[name].get("transposed")
+            else conv2d_norm_act_apply
+        )
+        out, st = fn(params[name], state.get(name, {}), L[name], x, train)
+        if name in state:
+            ns[name] = st
+        return out
+
+    b, _, t, f8 = e3.shape
+    emb, _ = squeezed_gru_s_apply(params["dec_emb_gru"], L["dec_emb_gru"], emb)
+    emb = jnp.transpose(emb.reshape(b, t, f8, -1), (0, 3, 1, 2))  # [B, C*8, T, F/8]
+    e3 = conv("convt3", conv("conv3p", e3) + emb)
+    e2 = conv("convt2", conv("conv2p", e2) + e3)
+    e1 = conv("convt1", conv("conv1p", e1) + e2)
+    m = conv("conv0_out", conv("conv0p", e0) + e1)  # [B,1,T,E] sigmoid
+    return m, ns
+
+
+def _df_decoder(params, state, L, cfg, emb, c0, train):
+    ns = dict(state)
+    b, t, _ = emb.shape
+    c, _ = squeezed_gru_s_apply(params["df_gru"], L["df_gru"], emb)
+    if cfg["df_gru_skip"] == "identity":
+        c = c + emb
+    elif cfg["df_gru_skip"] == "groupedlinear":
+        c = c + grouped_linear_apply(params["df_skip"], emb)
+    c0p, st = conv2d_norm_act_apply(params["df_convp"], state.get("df_convp", {}), L["df_convp"], c0, train)
+    if "df_convp" in state:
+        ns["df_convp"] = st
+    c0p = jnp.transpose(c0p, (0, 2, 3, 1))  # [B, T, F', O*2]
+    c = grouped_linear_apply(params["df_out"], c)
+    c = jnp.tanh(c).reshape(b, t, cfg["nb_df"], cfg["df_order"] * 2) + c0p
+    return c, ns
+
+
+def forward(
+    params: Dict,
+    state: Dict,
+    cfg: Dict,
+    spec: jnp.ndarray,
+    feat_erb: jnp.ndarray,
+    feat_spec: jnp.ndarray,
+    train: bool = False,
+) -> Tuple[Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray], Dict]:
+    """Offline forward.
+
+    Args (real-valued at the jit boundary):
+        spec:      [B, T, F, 2] noisy spectrum re/im.
+        feat_erb:  [B, T, E] normalized ERB features.
+        feat_spec: [B, T, F', 2] unit-normalized complex features re/im.
+    Returns ((spec_e [B,T,F,2], mask [B,T,E], lsnr [B,T,1],
+              df_coefs [B,O,T,F',2]), new_state).
+    """
+    L = cfg["layers"]
+    feat_erb_in = feat_erb[:, None]  # [B,1,T,E]
+    feat_spec_in = jnp.moveaxis(feat_spec, -1, 1)  # [B,2,T,F']
+
+    e0, e1, e2, e3, emb, c0, lsnr, ns1 = _encoder(
+        params, state, L, cfg, feat_erb_in, feat_spec_in, train
+    )
+    m, ns2 = _erb_decoder(params, {**state, **ns1}, L, cfg, emb, e3, e2, e1, e0, train)
+    coefs, ns3 = _df_decoder(params, {**state, **ns1, **ns2}, L, cfg, emb, c0, train)
+    new_state = {**state, **ns1, **ns2, **ns3}
+
+    mask = m[:, 0]  # [B,T,E]
+    spec_c = spec[..., 0] + 1j * spec[..., 1]  # [B,T,F]
+    # ERB mask -> bin gains -> masked spectrum
+    bin_gains = mask @ jnp.asarray(cfg["erb_inv_fb"])  # [B,T,F]
+    spec_m = spec_c * bin_gains
+
+    # DF coefficients [B,T,F',O*2] -> complex [B,O,T,F']
+    b, t = coefs.shape[:2]
+    coefs_ri = coefs.reshape(b, t, cfg["nb_df"], cfg["df_order"], 2)
+    coefs_c = jnp.transpose(coefs_ri[..., 0] + 1j * coefs_ri[..., 1], (0, 3, 1, 2))
+    spec_e = deep_filter_offline(spec_c, coefs_c, cfg["nb_df"], cfg["df_lookahead"])
+    spec_e = jnp.concatenate([spec_e[..., : cfg["nb_df"]], spec_m[..., cfg["nb_df"] :]], axis=-1)
+
+    if cfg["mask_pf"]:
+        beta = cfg["pf_beta"]
+        eps = 1e-12
+        g = jnp.clip(jnp.abs(spec_e) / (jnp.abs(spec_c) + eps), eps, 1.0)
+        g_sin = jnp.maximum(g * jnp.sin(PI * g / 2.0), eps)
+        pf = (1.0 + beta) / (1.0 + beta * (g / g_sin) ** 2)
+        spec_e = spec_e * pf
+
+    spec_e_ri = jnp.stack([jnp.real(spec_e), jnp.imag(spec_e)], axis=-1)
+    df_coefs_out = jnp.transpose(coefs_ri, (0, 3, 1, 2, 4))  # [B,O,T,F',2]
+    return (spec_e_ri, mask, lsnr, df_coefs_out), new_state
+
+
+# ---------------------------------------------------------------------------
+# streaming cell
+# ---------------------------------------------------------------------------
+
+
+class StreamState(NamedTuple):
+    """Per-stream carry for the lax.scan streaming path."""
+
+    erb_buf: jnp.ndarray  # [B, 1, kt0-1, E]   erb_conv0 time context
+    spec_buf: jnp.ndarray  # [B, 2, kt0-1, F']  df_conv0 time context
+    c0_buf: jnp.ndarray  # [B, C, ktp-1, F']  df_convp time context
+    enc_gru_h: jnp.ndarray  # [1, B, H]
+    dec_gru_h: jnp.ndarray  # [L1, B, H]
+    df_gru_h: jnp.ndarray  # [L3, B, H]
+    df_ring_re: jnp.ndarray  # [B, O-1, F']
+    df_ring_im: jnp.ndarray  # [B, O-1, F']
+
+
+def streaming_init(batch: int, cfg: Dict) -> StreamState:
+    kt0 = cfg["conv_kernel_inp"][0]
+    ktp = cfg["df_pathway_kt"]
+    e = cfg["nb_erb"]
+    fp = cfg["nb_df"]
+    f = cfg["freq_bins"]
+    o = cfg["df_order"]
+    ch = cfg["conv_ch"]
+    z = jnp.zeros
+    return StreamState(
+        erb_buf=z((batch, 1, kt0 - 1, e)),
+        spec_buf=z((batch, 2, kt0 - 1, fp)),
+        c0_buf=z((batch, ch, ktp - 1, fp)) if ktp > 1 else z((batch, ch, 0, fp)),
+        enc_gru_h=z((1, batch, cfg["emb_hidden_dim"])),
+        dec_gru_h=z((max(cfg["emb_num_layers"] - 1, 1), batch, cfg["emb_hidden_dim"])),
+        df_gru_h=z((cfg["df_num_layers"], batch, cfg["df_hidden_dim"])),
+        df_ring_re=z((batch, o - 1, fp)),
+        df_ring_im=z((batch, o - 1, fp)),
+    )
+
+
+def streaming_cell(
+    params: Dict,
+    state: Dict,
+    cfg: Dict,
+    carry: StreamState,
+    spec_ri: jnp.ndarray,
+    feat_erb: jnp.ndarray,
+    feat_spec_ri: jnp.ndarray,
+) -> Tuple[StreamState, Tuple[jnp.ndarray, jnp.ndarray]]:
+    """One frame of streaming DFN3 (tract.rs:509-642 semantics, lookahead 0).
+
+    With zero lookahead, the causal DF ring buffer (frames t-O+1..t) plus
+    this frame's coefficients reproduce the offline unfold exactly, so
+    streaming output frame t equals offline output frame t bit-for-bit
+    (modulo fp reassociation) — the property the reference validates via
+    tract pulse tests.
+
+    Args:
+        spec_ri:      [B, F, 2] current noisy spectrum frame.
+        feat_erb:     [B, E] normalized ERB features for this frame.
+        feat_spec_ri: [B, F', 2] normalized complex features.
+    Returns (new_carry, (enhanced_spec [B, F, 2], lsnr [B, 1])).
+    """
+    L = cfg["layers"]
+    nb_df = cfg["nb_df"]
+
+    # -- conv frontend with carried time context
+    erb_win = jnp.concatenate([carry.erb_buf, feat_erb[:, None, None, :]], axis=2)
+    spec_feat_t = jnp.moveaxis(feat_spec_ri, -1, 1)[:, :, None, :]  # [B,2,1,F']
+    spec_win = jnp.concatenate([carry.spec_buf, spec_feat_t], axis=2)
+
+    def cstep(name, x):
+        return conv2d_norm_act_step(params[name], state.get(name, {}), L[name], x)
+
+    e0 = cstep("erb_conv0", erb_win)  # [B,C,E]
+    e1 = cstep("erb_conv1", e0[:, :, None, :])
+    e2 = cstep("erb_conv2", e1[:, :, None, :])
+    e3 = cstep("erb_conv3", e2[:, :, None, :])
+    c0 = cstep("df_conv0", spec_win)  # [B,C,F']
+    c1 = cstep("df_conv1", c0[:, :, None, :])
+
+    b = e0.shape[0]
+    cemb = jnp.transpose(c1, (0, 2, 1)).reshape(b, -1)
+    cemb = jax.nn.relu(grouped_linear_apply(params["df_fc_emb"], cemb))
+    emb = jnp.transpose(e3, (0, 2, 1)).reshape(b, -1)
+    emb = jnp.concatenate([emb, cemb], -1) if cfg["enc_concat"] else emb + cemb
+    enc_h, emb = squeezed_gru_s_step(params["enc_emb_gru"], L["enc_emb_gru"], carry.enc_gru_h, emb)
+    lsnr = jax.nn.sigmoid(linear_apply(params["lsnr_fc"], emb))
+    lsnr = lsnr * (cfg["lsnr_max"] - cfg["lsnr_min"]) + cfg["lsnr_min"]
+
+    # -- erb decoder
+    dec_h, demb = squeezed_gru_s_step(params["dec_emb_gru"], L["dec_emb_gru"], carry.dec_gru_h, emb)
+    f4 = cfg["nb_erb"] // 4  # e3's freq size (two stride-2 encoder convs)
+    demb = jnp.transpose(demb.reshape(b, f4, -1), (0, 2, 1))  # [B, C, F/4]
+
+    def dstep(name, x):
+        fn = conv_transpose2d_norm_act_step if L[name].get("transposed") else conv2d_norm_act_step
+        return fn(params[name], state.get(name, {}), L[name], x[:, :, None, :])
+
+    d3 = dstep("convt3", dstep("conv3p", e3) + demb)
+    d2 = dstep("convt2", dstep("conv2p", e2) + d3)
+    d1 = dstep("convt1", dstep("conv1p", e1) + d2)
+    m = dstep("conv0_out", dstep("conv0p", e0) + d1)[:, 0]  # [B, E]
+
+    # -- df decoder
+    df_h, c = squeezed_gru_s_step(params["df_gru"], L["df_gru"], carry.df_gru_h, emb)
+    if cfg["df_gru_skip"] == "identity":
+        c = c + emb
+    elif cfg["df_gru_skip"] == "groupedlinear":
+        c = c + grouped_linear_apply(params["df_skip"], emb)
+    ktp = cfg["df_pathway_kt"]
+    if ktp > 1:
+        c0_win = jnp.concatenate([carry.c0_buf, c0[:, :, None, :]], axis=2)
+    else:
+        c0_win = c0[:, :, None, :]
+    c0p = conv2d_norm_act_step(params["df_convp"], state.get("df_convp", {}), L["df_convp"], c0_win)
+    c0p = jnp.transpose(c0p, (0, 2, 1))  # [B, F', O*2]
+    coefs = jnp.tanh(grouped_linear_apply(params["df_out"], c))
+    coefs = coefs.reshape(b, nb_df, cfg["df_order"], 2) + c0p.reshape(
+        b, nb_df, cfg["df_order"], 2
+    )
+    coefs_c = coefs[..., 0] + 1j * coefs[..., 1]  # [B, F', O]
+    coefs_c = jnp.moveaxis(coefs_c, -1, 1)  # [B, O, F']
+
+    # -- apply: DF over ring buffer (current + O-1 past low-band frames)
+    spec_c = spec_ri[..., 0] + 1j * spec_ri[..., 1]  # [B, F]
+    ring = carry.df_ring_re + 1j * carry.df_ring_im
+    new_ring, y_lo = deep_filter(ring, spec_c[:, :nb_df], coefs_c)
+
+    # upper bins: ERB mask applied to the *current* frame (offline semantics:
+    # gains at frame t apply to spec frame t)
+    bin_gains = m @ jnp.asarray(cfg["erb_inv_fb"])  # [B, F]
+    spec_m = spec_c * bin_gains
+    spec_e = jnp.concatenate([y_lo, spec_m[:, nb_df:]], axis=-1)
+
+    if cfg["mask_pf"]:
+        beta = cfg["pf_beta"]
+        eps = 1e-12
+        g = jnp.clip(jnp.abs(spec_e) / (jnp.abs(spec_c) + eps), eps, 1.0)
+        g_sin = jnp.maximum(g * jnp.sin(PI * g / 2.0), eps)
+        spec_e = spec_e * ((1.0 + beta) / (1.0 + beta * (g / g_sin) ** 2))
+
+    new_carry = StreamState(
+        erb_buf=erb_win[:, :, 1:] if cfg["conv_kernel_inp"][0] > 1 else carry.erb_buf,
+        spec_buf=spec_win[:, :, 1:] if cfg["conv_kernel_inp"][0] > 1 else carry.spec_buf,
+        c0_buf=c0_win[:, :, 1:] if ktp > 1 else carry.c0_buf,
+        enc_gru_h=enc_h,
+        dec_gru_h=dec_h,
+        df_gru_h=df_h,
+        df_ring_re=jnp.real(new_ring),
+        df_ring_im=jnp.imag(new_ring),
+    )
+    spec_e_ri = jnp.stack([jnp.real(spec_e), jnp.imag(spec_e)], axis=-1)
+    return new_carry, (spec_e_ri, lsnr)
