@@ -1,0 +1,241 @@
+"""User-facing enhancement API + `deepFilter`-compatible CLI.
+
+Mirrors the reference's df/enhance.py surface:
+  * `init_df(model_base_dir, ...)` -> (model, df_state, suffix)
+  * `df_features(audio, df_state, nb_df)` -> (spec, erb_feat, spec_feat)
+  * `enhance(model, df_state, audio, pad=True, atten_lim_db=None)`
+  * CLI: `python -m deepfilternet_tpu.enhance noisy.wav [-o outdir] [--pf] ...`
+
+Differences by design: the model is a (params, state, cfg, module) bundle
+rather than an nn.Module; everything device-side runs under one jit with
+real-valued tensors at the boundary (re/im split); the delay-compensation
+semantics (pad n_fft, trim d = n_fft - hop) match enhance.py:206-250.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deepfilternet_tpu.checkpoint import read_cp
+from deepfilternet_tpu.config import config
+from deepfilternet_tpu.models import init_model
+from deepfilternet_tpu.ops import (
+    Stft,
+    erb_widths,
+    get_norm_alpha,
+    istft,
+    stft,
+)
+from deepfilternet_tpu.ops.features import erb_feat as _erb_feat
+from deepfilternet_tpu.ops.features import spec_feat as _spec_feat
+from deepfilternet_tpu.utils.audio_io import load_audio, resample, save_audio
+
+
+@dataclass
+class DfState:
+    """Static DSP state: the analog of the reference's `DF` pyclass."""
+
+    sr: int = 48000
+    fft_size: int = 960
+    hop_size: int = 480
+    nb_erb: int = 32
+    min_nb_erb_freqs: int = 1
+
+    @property
+    def stft_cfg(self) -> Stft:
+        return Stft(sr=self.sr, fft_size=self.fft_size, hop_size=self.hop_size)
+
+    @property
+    def erb_widths(self):
+        return erb_widths(self.sr, self.fft_size, self.nb_erb, self.min_nb_erb_freqs)
+
+    @property
+    def delay(self) -> int:
+        return self.fft_size - self.hop_size
+
+
+@dataclass
+class DfModel:
+    params: Any
+    state: Any
+    cfg: Dict
+    module: Any
+    post_filter: bool = False
+    epoch: Optional[int] = None
+    _jit_cache: Dict = field(default_factory=dict)
+
+
+def init_df(
+    model_base_dir: Optional[str] = None,
+    post_filter: bool = False,
+    log_level: str = "INFO",
+    config_allow_defaults: bool = True,
+    epoch: str | int = "best",
+    mask_only: bool = False,
+    model_name: Optional[str] = None,
+) -> Tuple[DfModel, DfState, str]:
+    """Load a model + DSP state.
+
+    If `model_base_dir` is given it must contain `config.ini` and a
+    `checkpoints/` dir (reference layout); otherwise defaults are used with
+    randomly initialized weights (no pretrained download in this
+    environment).
+    """
+    config.reset()
+    if model_base_dir is not None:
+        cfg_path = os.path.join(model_base_dir, "config.ini")
+        config.load(cfg_path if os.path.isfile(cfg_path) else None,
+                    allow_defaults=config_allow_defaults, allow_reload=True)
+    params, state, cfg, module = init_model(model_name)
+    model = DfModel(params=params, state=state, cfg=cfg, module=module,
+                    post_filter=post_filter)
+    if post_filter:
+        model.cfg = dict(cfg, mask_pf=True)
+    suffix = "new"
+    if model_base_dir is not None:
+        ckpt_dir = os.path.join(model_base_dir, "checkpoints")
+        payload = read_cp(ckpt_dir, which=epoch)
+        if payload is not None:
+            model.params = payload["params"]
+            if payload["state"]:
+                model.state = payload["state"]
+            model.epoch = payload.get("epoch")
+            suffix = f"e{model.epoch}"
+    p_cfg = model.cfg
+    df_state = DfState(
+        sr=config("SR", 48000, int, section="DF"),
+        fft_size=config("FFT_SIZE", 960, int, section="DF"),
+        hop_size=config("HOP_SIZE", 480, int, section="DF"),
+        nb_erb=p_cfg["nb_erb"],
+        min_nb_erb_freqs=config("MIN_NB_ERB_FREQS", 2, int, section="DF"),
+    )
+    return model, df_state, suffix
+
+
+def df_features(
+    audio: np.ndarray, df_state: DfState, nb_df: int, alpha: Optional[float] = None
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Compute (spec [C,T,F,2], erb_feat [C,T,E], spec_feat [C,T,F',2]).
+
+    Matches df/enhance.py:190-203: streaming-semantics STFT, dB ERB features
+    with exponential mean norm, unit-normalized complex features.
+    """
+    if alpha is None:
+        alpha = get_norm_alpha(df_state.sr, df_state.hop_size,
+                               config("NORM_TAU", 1.0, float, section="DF"))
+    spec = stft(jnp.asarray(audio), df_state.stft_cfg)  # [C, T, F] complex
+    erb = _erb_feat(spec, df_state.erb_widths, alpha)
+    sf = _spec_feat(spec, nb_df, alpha)
+    spec_ri = jnp.stack([jnp.real(spec), jnp.imag(spec)], axis=-1)
+    sf_ri = jnp.stack([jnp.real(sf), jnp.imag(sf)], axis=-1)
+    return spec_ri, erb, sf_ri
+
+
+def _get_forward_jit(model: DfModel):
+    key = "offline_forward"
+    if key not in model._jit_cache:
+        module, cfg = model.module, model.cfg
+
+        @jax.jit
+        def run(params, state, spec, erb_f, spec_f):
+            (spec_e, m, lsnr, _), _ = module.forward(
+                params, state, cfg, spec, erb_f, spec_f, train=False
+            )
+            return spec_e, m, lsnr
+
+        model._jit_cache[key] = run
+    return model._jit_cache[key]
+
+
+def enhance(
+    model: DfModel,
+    df_state: DfState,
+    audio: np.ndarray,
+    pad: bool = True,
+    atten_lim_db: Optional[float] = None,
+) -> np.ndarray:
+    """Enhance [C, T] float32 audio; returns the same shape when pad=True.
+
+    Implements the reference's delay compensation (enhance.py:206-250):
+    right-pad by n_fft before the STFT, trim [d, orig_len + d] after the
+    inverse with d = n_fft - hop.
+    """
+    audio = np.atleast_2d(np.asarray(audio, np.float32))
+    orig_len = audio.shape[-1]
+    n_fft, hop = df_state.fft_size, df_state.hop_size
+    if pad:
+        audio = np.pad(audio, ((0, 0), (0, n_fft)))
+    # trim to whole hops (streaming analysis consumes whole frames only)
+    t_hops = audio.shape[-1] // hop
+    audio = audio[..., : t_hops * hop]
+    nb_df = model.cfg["nb_df"]
+    spec, erb_f, spec_f = df_features(audio, df_state, nb_df)
+    run = _get_forward_jit(model)
+    spec_e_ri, m, lsnr = run(model.params, model.state, spec, erb_f, spec_f)
+    if atten_lim_db is not None and abs(atten_lim_db) > 0:
+        lim = 10.0 ** (-abs(atten_lim_db) / 20.0)
+        spec_e_ri = spec * lim + spec_e_ri * (1.0 - lim)
+    spec_e = jnp.asarray(spec_e_ri)
+    spec_c = spec_e[..., 0] + 1j * spec_e[..., 1]
+    out = np.asarray(istft(spec_c, df_state.stft_cfg))
+    if pad:
+        d = n_fft - hop
+        out = out[:, d : orig_len + d]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# CLI (reference: deepFilter console script, enhance.py:299-379)
+# ---------------------------------------------------------------------------
+
+
+def main(args=None):
+    parser = argparse.ArgumentParser(
+        prog="deepFilter", description="Enhance noisy audio with DeepFilterNet-TPU"
+    )
+    parser.add_argument("noisy_audio_files", nargs="+", help="WAV files to enhance")
+    parser.add_argument("--model-base-dir", "-m", default=None,
+                        help="Directory with config.ini and checkpoints/")
+    parser.add_argument("--output-dir", "-o", default=".")
+    parser.add_argument("--pf", action="store_true", help="Enable perceptual post-filter")
+    parser.add_argument("--atten-lim", "-a", type=float, default=None,
+                        help="Noise attenuation limit in dB")
+    parser.add_argument("--no-delay-compensation", "-D", dest="compensate_delay",
+                        action="store_false")
+    parser.add_argument("--no-suffix", action="store_true")
+    parser.add_argument("--epoch", "-e", default="best")
+    args = parser.parse_args(args)
+
+    model, df_state, suffix = init_df(
+        args.model_base_dir, post_filter=args.pf, epoch=args.epoch
+    )
+    os.makedirs(args.output_dir, exist_ok=True)
+    for path in args.noisy_audio_files:
+        audio, sr = load_audio(path)
+        if sr != df_state.sr:
+            audio = resample(audio, sr, df_state.sr)
+        t0 = time.time()
+        out = enhance(model, df_state, audio, pad=args.compensate_delay,
+                      atten_lim_db=args.atten_lim)
+        dt = time.time() - t0
+        dur = audio.shape[-1] / df_state.sr
+        print(f"Enhanced {path} in {dt:.2f}s (RTF: {dt / dur:.4f})")
+        if sr != df_state.sr:
+            out = resample(out, df_state.sr, sr)
+        name = os.path.basename(path)
+        if not args.no_suffix:
+            stem, ext = os.path.splitext(name)
+            name = f"{stem}_DeepFilterNet_TPU{ext}"
+        save_audio(os.path.join(args.output_dir, name), out, sr)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,132 @@
+"""End-to-end enhance API tests on the reference's bundled noisy asset."""
+
+import os
+
+import numpy as np
+import pytest
+
+from deepfilternet_tpu.checkpoint import (
+    check_patience,
+    read_cp,
+    write_cp,
+)
+from deepfilternet_tpu.enhance import DfState, df_features, enhance, init_df
+from deepfilternet_tpu.utils.audio_io import load_audio, save_audio
+
+ASSET = "/root/reference/assets/noisy_snr0.wav"
+
+
+class TestAudioIO:
+    def test_load(self):
+        audio, sr = load_audio(ASSET)
+        assert sr == 48000
+        assert audio.ndim == 2 and audio.shape[0] == 1
+        assert audio.dtype == np.float32
+        assert np.abs(audio).max() <= 1.0
+
+    def test_roundtrip(self, tmp_path):
+        audio, sr = load_audio(ASSET)
+        p = str(tmp_path / "out.wav")
+        save_audio(p, audio, sr)
+        audio2, sr2 = load_audio(p)
+        assert sr2 == sr
+        np.testing.assert_allclose(audio, audio2, atol=1.0 / 32000)
+
+
+class TestEnhance:
+    @pytest.fixture(scope="class")
+    def model(self):
+        model, df_state, suffix = init_df()
+        return model, df_state
+
+    def test_features(self, model):
+        _, df_state = model
+        audio, _ = load_audio(ASSET)
+        audio = audio[:, :48000]
+        spec, erb_f, spec_f = df_features(audio, df_state, 96)
+        assert spec.shape == (1, 100, 481, 2)
+        assert erb_f.shape == (1, 100, 32)
+        assert spec_f.shape == (1, 100, 96, 2)
+
+    def test_enhance_shape_preserved(self, model):
+        m, df_state = model
+        audio, _ = load_audio(ASSET)
+        audio = audio[:, :48000]
+        out = enhance(m, df_state, audio)
+        assert out.shape == audio.shape
+        assert np.all(np.isfinite(out))
+
+    def test_enhance_no_pad(self, model):
+        m, df_state = model
+        audio, _ = load_audio(ASSET)
+        audio = audio[:, :24000]
+        out = enhance(m, df_state, audio, pad=False)
+        # without padding, output is T//hop * hop samples
+        assert out.shape[-1] == audio.shape[-1] // 480 * 480
+
+    def test_atten_lim(self, model):
+        """atten_lim 0.001 dB keeps output ~= noisy input."""
+        m, df_state = model
+        audio, _ = load_audio(ASSET)
+        audio = audio[:, :24000]
+        out_full = enhance(m, df_state, audio)
+        out_lim = enhance(m, df_state, audio, atten_lim_db=0.01)
+        # heavy limiting pulls output towards input
+        err_lim = np.abs(out_lim - audio).mean()
+        err_full = np.abs(out_full - audio).mean()
+        assert err_lim < err_full
+
+    def test_identity_when_mask_one(self, model):
+        """With gains forced to 1 and identity DF coefs the pipeline is a
+        delay-compensated STFT round trip: output ~= input."""
+        import jax.numpy as jnp
+
+        from deepfilternet_tpu.ops import Stft, istft, stft
+
+        _, df_state = model
+        audio, _ = load_audio(ASSET)
+        audio = audio[:, :48000]
+        cfg = df_state.stft_cfg
+        padded = np.pad(audio, ((0, 0), (0, 960)))
+        spec = stft(jnp.asarray(padded), cfg)
+        out = np.asarray(istft(spec, cfg))
+        d = cfg.delay
+        np.testing.assert_allclose(out[:, d : 48000 + d], audio, atol=1e-4)
+
+
+class TestCheckpoint:
+    def test_write_read_best(self, tmp_path):
+        import jax.numpy as jnp
+
+        d = str(tmp_path / "ckpt")
+        params = {"w": jnp.ones((3, 3))}
+        state = {"bn": {"mean": jnp.zeros((3,))}}
+        write_cp(d, params, state, epoch=1)
+        write_cp(d, params, state, epoch=2, is_best=True)
+        write_cp(d, {"w": jnp.full((3, 3), 7.0)}, state, epoch=3)
+        latest = read_cp(d, "latest")
+        assert latest["epoch"] == 3
+        assert np.asarray(latest["params"]["w"])[0, 0] == 7.0
+        best = read_cp(d, "best")
+        assert best["epoch"] == 2
+        byep = read_cp(d, 1)
+        assert byep["epoch"] == 1
+
+    def test_keep_n(self, tmp_path):
+        import jax.numpy as jnp
+
+        d = str(tmp_path / "ckpt")
+        for e in range(6):
+            write_cp(d, {"w": jnp.zeros(1)}, {}, epoch=e, keep_n=3)
+        names = sorted(os.listdir(d))
+        assert names == ["model_3.ckpt", "model_4.ckpt", "model_5.ckpt"]
+
+    def test_patience(self, tmp_path):
+        d = str(tmp_path)
+        assert check_patience(d, 2, 1.0)
+        # no .best yet -> improvement resets; log best then regress
+        from deepfilternet_tpu.checkpoint import log_best
+
+        log_best(d, 1, 1.0)
+        assert check_patience(d, 2, 0.5)   # 1 bad epoch
+        assert not check_patience(d, 2, 0.4)  # 2 bad epochs -> stop
