@@ -1,0 +1,76 @@
+"""Benchmark: aggregate real-time factor of streaming DFN3 on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": "aggregate_rtf_streams_per_chip", "value": N, "unit": "x_realtime",
+   "vs_baseline": N/2000}
+
+The metric is (streams * audio_seconds) / wall_seconds for the FULL
+streaming pipeline (STFT, features, model, DF, ISTFT) over a batch of
+independent 48 kHz streams — the BASELINE.json north star (>=2000x per
+chip at DFN3 parity). Extra diagnostics go to stderr.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from deepfilternet_tpu.enhance import init_df
+    from deepfilternet_tpu.streaming import StreamingRuntime
+
+    dev = jax.devices()[0]
+    log(f"device: {dev}")
+
+    model, df_state, _ = init_df()
+    rt = StreamingRuntime(model, df_state)
+
+    n_streams = int(os.environ.get("BENCH_STREAMS", "512"))
+    seconds = float(os.environ.get("BENCH_SECONDS", "2.0"))
+    sr = df_state.sr
+    hop = df_state.hop_size
+    t = int(seconds * sr) // hop * hop
+
+    rng = np.random.default_rng(0)
+    audio = jnp.asarray(rng.standard_normal((n_streams, t)).astype(np.float32) * 0.1)
+
+    carry = rt.init(n_streams)
+    # warmup / compile
+    t0 = time.time()
+    carry2, out = rt.process(carry, audio)
+    out.block_until_ready()
+    log(f"compile+first run: {time.time() - t0:.1f}s")
+
+    # timed runs
+    n_rep = 3
+    best = float("inf")
+    for _ in range(n_rep):
+        t0 = time.time()
+        carry2, out = rt.process(carry2, audio)
+        out.block_until_ready()
+        best = min(best, time.time() - t0)
+    audio_seconds = n_streams * (t / sr)
+    rtf = audio_seconds / best
+    log(f"streams={n_streams} audio={t/sr:.1f}s wall={best*1e3:.1f}ms "
+        f"per-frame={best/(t//hop)*1e6:.0f}us aggregate_rtf={rtf:.0f}x")
+
+    print(json.dumps({
+        "metric": "aggregate_rtf_streams_per_chip",
+        "value": round(rtf, 1),
+        "unit": "x_realtime",
+        "vs_baseline": round(rtf / 2000.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,146 @@
+"""Training step + loop (reference: df/train.py:47-457).
+
+TPU-native design: one jitted `train_step` over (params, state, opt_state,
+batch, lr, wd) — gradient, AdamW update, BN stat update, NaN guard — with
+data parallelism expressed through `jax.sharding` on the batch dimension
+(see parallel/mesh.py); XLA inserts the gradient all-reduce over ICI.
+
+The NaN guard mirrors train.py:381-419: non-finite loss or gradients skip
+the update (params pass through unchanged) and increment a counter the
+host checks against MAX_NANS.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from deepfilternet_tpu.config import config
+from deepfilternet_tpu.train.loss import Loss
+
+MAX_NANS = 50
+
+
+class TrainState(NamedTuple):
+    params: Any
+    model_state: Any  # BN running stats etc.
+    opt_state: Any
+    step: jnp.ndarray
+    nan_count: jnp.ndarray
+
+
+def load_opt_config() -> Dict[str, float]:
+    """[optim] section defaults mirroring df/train.py:474-512."""
+    return dict(
+        lr=config("LR", 5e-4, float, section="optim"),
+        weight_decay=config("WEIGHT_DECAY", 0.05, float, section="optim"),
+        optimizer=config("OPTIMIZER", "adamw", str, section="optim"),
+        lr_min=config("LR_MIN", 1e-6, float, section="optim"),
+        lr_warmup=config("LR_WARMUP", 1e-4, float, section="optim"),
+        warmup_epochs=config("WARMUP_EPOCHS", 3, int, section="optim"),
+        lr_cycle_mul=config("LR_CYCLE_MUL", 1.0, float, section="optim"),
+        lr_cycle_decay=config("LR_CYCLE_DECAY", 0.5, float, section="optim"),
+        lr_cycle_epochs=config("LR_CYCLE_EPOCHS", -1, int, section="optim"),
+        weight_decay_end=config("WEIGHT_DECAY_END", -1, float, section="optim"),
+    )
+
+
+def make_optimizer(opt_cfg: Optional[Dict] = None) -> optax.GradientTransformation:
+    opt_cfg = opt_cfg or load_opt_config()
+    name = opt_cfg.get("optimizer", "adamw")
+    # lr/wd are injected per-step from the cosine schedule arrays, so the
+    # transformations are built with placeholder values and wrapped in
+    # inject_hyperparams for runtime control.
+    if name == "adamw":
+        base = optax.inject_hyperparams(optax.adamw)(
+            learning_rate=opt_cfg["lr"], weight_decay=opt_cfg["weight_decay"]
+        )
+    elif name == "adam":
+        base = optax.inject_hyperparams(optax.adam)(learning_rate=opt_cfg["lr"])
+    elif name == "sgd":
+        base = optax.inject_hyperparams(
+            lambda learning_rate: optax.chain(
+                optax.add_decayed_weights(opt_cfg["weight_decay"]),
+                optax.sgd(learning_rate, momentum=0.9, nesterov=True),
+            )
+        )(learning_rate=opt_cfg["lr"])
+    elif name == "rmsprop":
+        base = optax.inject_hyperparams(optax.rmsprop)(
+            learning_rate=opt_cfg["lr"], momentum=0.9
+        )
+    else:
+        raise ValueError(f"Unknown optimizer {name}")
+    return optax.chain(optax.clip_by_global_norm(1.0), base)
+
+
+def _set_lr(opt_state, lr, wd=None):
+    """Write injected hyperparams in-place on the optax chain state."""
+    inner = opt_state[1]  # after clip_by_global_norm
+    hp = dict(inner.hyperparams)
+    hp["learning_rate"] = lr
+    if wd is not None and "weight_decay" in hp:
+        hp["weight_decay"] = wd
+    return (opt_state[0], inner._replace(hyperparams=hp))
+
+
+def make_train_step(
+    module,
+    cfg: Dict,
+    loss_obj: Loss,
+    optimizer: optax.GradientTransformation,
+) -> Callable:
+    """Build the jittable training step for an offline-forward model module."""
+
+    def loss_fn(params, model_state, batch):
+        (spec_e, m, lsnr, _), new_state = module.forward(
+            params, model_state, cfg,
+            batch["noisy"], batch["feat_erb"], batch["feat_spec"], train=True,
+        )
+        clean = batch["clean"][..., 0] + 1j * batch["clean"][..., 1]
+        noisy = batch["noisy"][..., 0] + 1j * batch["noisy"][..., 1]
+        enh = spec_e[..., 0] + 1j * spec_e[..., 1]
+        total, parts = loss_obj(clean, noisy, enh, m, lsnr)
+        return total, (new_state, parts)
+
+    def train_step(ts: TrainState, batch: Dict, lr: jnp.ndarray, wd: jnp.ndarray):
+        opt_state = _set_lr(ts.opt_state, lr, wd)
+        (loss, (new_model_state, parts)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(ts.params, ts.model_state, batch)
+        # NaN guard: skip non-finite updates (train.py:381-419 analog)
+        flat = jax.tree.leaves(grads)
+        finite = jnp.isfinite(loss)
+        for g in flat:
+            finite = finite & jnp.all(jnp.isfinite(g))
+        updates, new_opt_state = optimizer.update(grads, opt_state, ts.params)
+        new_params = optax.apply_updates(ts.params, updates)
+
+        def keep_new(new, old):
+            return jax.tree.map(lambda n, o: jnp.where(finite, n, o), new, old)
+
+        new_ts = TrainState(
+            params=keep_new(new_params, ts.params),
+            model_state=keep_new(new_model_state, ts.model_state),
+            opt_state=keep_new(new_opt_state, opt_state),
+            step=ts.step + 1,
+            nan_count=ts.nan_count + jnp.where(finite, 0, 1),
+        )
+        metrics = {"loss": loss, "finite": finite, **parts}
+        return new_ts, metrics
+
+    return train_step
+
+
+def init_train_state(params, model_state, optimizer) -> TrainState:
+    return TrainState(
+        params=params,
+        model_state=model_state,
+        opt_state=optimizer.init(params),
+        step=jnp.zeros((), jnp.int32),
+        nan_count=jnp.zeros((), jnp.int32),
+    )

@@ -1,0 +1,65 @@
+"""Streaming runtime tests: end-to-end parity with offline enhance()."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from deepfilternet_tpu.enhance import enhance, init_df
+from deepfilternet_tpu.streaming import StreamingRuntime
+from deepfilternet_tpu.utils.audio_io import load_audio
+
+ASSET = "/root/reference/assets/noisy_snr0.wav"
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model, df_state, _ = init_df()
+    rt = StreamingRuntime(model, df_state)
+    return model, df_state, rt
+
+
+class TestStreamingRuntime:
+    def test_streaming_equals_offline_enhance(self, setup):
+        """The full streaming pipeline must reproduce offline enhance()
+        (same delay semantics, pad=False path)."""
+        model, df_state, rt = setup
+        audio, _ = load_audio(ASSET)
+        audio = audio[:, : 480 * 50]  # 0.5 s
+        off = enhance(model, df_state, audio, pad=False)
+
+        carry = rt.init(1)
+        carry, out = rt.process(carry, jnp.asarray(audio))
+        out = np.asarray(out)
+        assert out.shape == off.shape
+        np.testing.assert_allclose(out, off, atol=1e-4)
+
+    def test_chunked_equals_single_shot(self, setup):
+        """Processing in chunks must equal one big call (state continuity)."""
+        _, _, rt = setup
+        rng = np.random.default_rng(1)
+        audio = rng.standard_normal((2, 480 * 20)).astype(np.float32) * 0.1
+        c1 = rt.init(2)
+        _, full = rt.process(c1, jnp.asarray(audio))
+        c2 = rt.init(2)
+        outs = []
+        for i in range(4):
+            chunk = jnp.asarray(audio[:, i * 2400 : (i + 1) * 2400])
+            c2, o = rt.process(c2, chunk)
+            outs.append(np.asarray(o))
+        np.testing.assert_allclose(
+            np.concatenate(outs, axis=1), np.asarray(full), atol=1e-5
+        )
+
+    def test_process_frame(self, setup):
+        _, _, rt = setup
+        rng = np.random.default_rng(2)
+        audio = rng.standard_normal((1, 480 * 3)).astype(np.float32) * 0.1
+        c = rt.init(1)
+        _, full = rt.process(c, jnp.asarray(audio))
+        c = rt.init(1)
+        outs = []
+        for i in range(3):
+            c, o = rt.process_frame(c, jnp.asarray(audio[:, i * 480 : (i + 1) * 480]))
+            outs.append(np.asarray(o))
+        np.testing.assert_allclose(np.concatenate(outs, 1), np.asarray(full), atol=1e-5)
