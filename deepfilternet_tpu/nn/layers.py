@@ -127,11 +127,23 @@ def init_conv2d_norm_act(
     separable: bool = False,
     norm: bool = True,
     act: Optional[str] = "relu",
+    groups: Optional[int] = None,
+    lookahead: int = 0,
+    fupsample: int = 1,
+    force_pw: bool = False,
 ) -> Tuple[Params, Params, Dict]:
-    """Returns (params, state, static_config)."""
+    """Returns (params, state, static_config).
+
+    `groups`/`lookahead`/`fupsample` extend the reference Conv2dNormAct with
+    the convkxf variants used by DeepFilterNet1 (df/modules.py:129-193):
+    explicit group counts (depthwise = min(in,out)), conv lookahead (time
+    pad (k-1-la, la)), and nearest-neighbor freq upsample before the conv
+    ("upsample" decoder mode).
+    """
     kernel = tuple(kernel)
-    groups = _conv_groups(in_ch, out_ch, kernel, separable)
-    has_pw = separable and groups > 1 and max(kernel) > 1
+    if groups is None:
+        groups = _conv_groups(in_ch, out_ch, kernel, separable)
+    has_pw = separable and groups > 1 and (max(kernel) > 1 or force_pw)
     k1, k2, k3 = jax.random.split(key, 3)
     fan_in = (in_ch // groups) * kernel[0] * kernel[1]
     params: Params = {
@@ -155,6 +167,8 @@ def init_conv2d_norm_act(
         act=act,
         norm=norm,
         transposed=False,
+        lookahead=lookahead,
+        fupsample=fupsample,
     )
     return params, state, cfg
 
@@ -176,8 +190,11 @@ def conv2d_norm_act_apply(
 ) -> Tuple[jnp.ndarray, Params]:
     """Offline apply. x: [B, C, T, F] -> [B, O, T, F'] (causal in time)."""
     kt = cfg["kernel"][0]
-    if kt > 1:
-        x = jnp.pad(x, ((0, 0), (0, 0), (kt - 1, 0), (0, 0)))
+    la = cfg.get("lookahead", 0)
+    if kt - 1 - la > 0 or la > 0:
+        x = jnp.pad(x, ((0, 0), (0, 0), (max(kt - 1 - la, 0), la), (0, 0)))
+    if cfg.get("fupsample", 1) > 1:
+        x = jnp.repeat(x, cfg["fupsample"], axis=-1)
     out = _conv2d_raw(
         x, params["w"], cfg["groups"], cfg["fstride"], cfg["dilation"], (cfg["fpad"], cfg["fpad"])
     )
@@ -196,6 +213,8 @@ def conv2d_norm_act_step(
 ) -> jnp.ndarray:
     """Streaming apply on one frame. x_win: [B, C, kT, F] (time window ending
     at the current frame) -> [B, O, F']. Inference only (BN eval stats)."""
+    if cfg.get("fupsample", 1) > 1:
+        x_win = jnp.repeat(x_win, cfg["fupsample"], axis=-1)
     out = _conv2d_raw(
         x_win, params["w"], cfg["groups"], cfg["fstride"], cfg["dilation"], (cfg["fpad"], cfg["fpad"])
     )
@@ -518,4 +537,179 @@ def squeezed_gru_s_step(
         out = out + x
     elif cfg["skip"] == "groupedlinear":
         out = out + grouped_linear_apply(params["skip"], x)
+    return h_new, out
+
+
+# ---------------------------------------------------------------------------
+# GroupedLinear (df/modules.py:783-813): per-group nn.Linear (with bias) +
+# optional channel shuffle of the output
+# ---------------------------------------------------------------------------
+
+
+def init_grouped_linear_shuffle(
+    key, in_dim: int, out_dim: int, groups: int = 1, shuffle: bool = True
+) -> Tuple[Params, Dict]:
+    assert in_dim % groups == 0 and out_dim % groups == 0
+    if groups == 1:
+        shuffle = False
+    keys = jax.random.split(key, groups)
+    layers = [init_linear(k, in_dim // groups, out_dim // groups) for k in keys]
+    return {"layers": layers}, dict(groups=groups, shuffle=shuffle)
+
+
+def grouped_linear_shuffle_apply(params: Params, cfg: Dict, x: jnp.ndarray) -> jnp.ndarray:
+    g = cfg["groups"]
+    isz = x.shape[-1] // g
+    outs = [
+        linear_apply(lp, x[..., i * isz : (i + 1) * isz])
+        for i, lp in enumerate(params["layers"])
+    ]
+    out = jnp.concatenate(outs, axis=-1)
+    if cfg["shuffle"]:
+        hs = out.shape[-1] // g
+        sh = out.shape
+        out = jnp.swapaxes(out.reshape(-1, hs, g), -1, -2).reshape(sh)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# GroupedGRU (df/modules.py:503-660): per-group GRUs per layer, channel
+# shuffle between layers, optional output accumulation
+# ---------------------------------------------------------------------------
+
+
+def init_grouped_gru(
+    key,
+    input_size: int,
+    hidden_size: int,
+    num_layers: int = 1,
+    groups: int = 4,
+    shuffle: bool = True,
+    add_outputs: bool = False,
+) -> Tuple[Params, Dict]:
+    assert input_size % groups == 0 and hidden_size % groups == 0
+    if groups == 1:
+        shuffle = False
+    layers = []
+    for li in range(num_layers):
+        isz = (input_size if li == 0 else hidden_size) // groups
+        gs = []
+        for _ in range(groups):
+            key, sub = jax.random.split(key)
+            gs.append(init_gru(sub, isz, hidden_size // groups, 1))
+        layers.append(gs)
+    cfg = dict(
+        groups=groups,
+        shuffle=shuffle,
+        add_outputs=add_outputs,
+        num_layers=num_layers,
+        hidden_size=hidden_size // groups,
+    )
+    return {"layers": layers}, cfg
+
+
+def grouped_gru_apply(
+    params: Params, cfg: Dict, x: jnp.ndarray, h0: Optional[jnp.ndarray] = None
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """x: [B, T, I]; h0: [L*G, B, H/G]. Returns (out [B,T,H], hN)."""
+    g = cfg["groups"]
+    L = cfg["num_layers"]
+    hs = cfg["hidden_size"]
+    b = x.shape[0]
+    if h0 is None:
+        h0 = jnp.zeros((L * g, b, hs), x.dtype)
+    out_accum = None
+    cur = x
+    h_finals = []
+    for li, layer_groups in enumerate(params["layers"]):
+        isz = layer_groups[0]["layers"][0]["w_ih"].shape[1]
+        outs = []
+        for gi, gp in enumerate(layer_groups):
+            o, hN = gru_apply(gp, cur[..., gi * isz : (gi + 1) * isz],
+                              h0[li * g + gi][None])
+            outs.append(o)
+            h_finals.append(hN[0])
+        cur = jnp.concatenate(outs, axis=-1)
+        if cfg["shuffle"] and li < L - 1:
+            d0, d1 = cur.shape[0], cur.shape[1]
+            cur = jnp.swapaxes(cur.reshape(d0, d1, -1, g), -1, -2).reshape(d0, d1, -1)
+        out_accum = cur if (out_accum is None or not cfg["add_outputs"]) else out_accum + cur
+    return out_accum, jnp.stack(h_finals, axis=0)
+
+
+def grouped_gru_step(
+    params: Params, cfg: Dict, h: jnp.ndarray, x: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Single frame. x: [B, I]; h: [L*G, B, H/G]."""
+    g = cfg["groups"]
+    L = cfg["num_layers"]
+    cur = x
+    new_h = []
+    out_accum = None
+    for li, layer_groups in enumerate(params["layers"]):
+        isz = layer_groups[0]["layers"][0]["w_ih"].shape[1]
+        outs = []
+        for gi, gp in enumerate(layer_groups):
+            hN, o = gru_step(gp, h[li * g + gi][None], cur[..., gi * isz : (gi + 1) * isz])
+            outs.append(o)
+            new_h.append(hN[0])
+        cur = jnp.concatenate(outs, axis=-1)
+        if cfg["shuffle"] and li < L - 1:
+            b = cur.shape[0]
+            cur = jnp.swapaxes(cur.reshape(b, -1, g), -1, -2).reshape(b, -1)
+        out_accum = cur if (out_accum is None or not cfg["add_outputs"]) else out_accum + cur
+    return jnp.stack(new_h, axis=0), out_accum
+
+
+# ---------------------------------------------------------------------------
+# SqueezedGRU (non-_S variant, df/modules.py:663-702): skip applied to the
+# GRU *input* (post linear_in), before linear_out
+# ---------------------------------------------------------------------------
+
+
+def init_squeezed_gru(
+    key,
+    input_size: int,
+    hidden_size: int,
+    output_size: Optional[int] = None,
+    num_layers: int = 1,
+    linear_groups: int = 8,
+    skip: Optional[str] = None,
+    linear_act: Optional[str] = "identity",
+) -> Tuple[Params, Dict]:
+    k1, k2, k3 = jax.random.split(key, 3)
+    params: Params = {
+        "linear_in": init_grouped_linear(k1, input_size, hidden_size, linear_groups),
+        "gru": init_gru(k2, hidden_size, hidden_size, num_layers),
+    }
+    if output_size is not None:
+        params["linear_out"] = init_grouped_linear(k3, hidden_size, output_size, linear_groups)
+    cfg = dict(skip=skip, linear_act=linear_act, num_layers=num_layers,
+               hidden_size=hidden_size)
+    return params, cfg
+
+
+def squeezed_gru_apply(
+    params: Params, cfg: Dict, x: jnp.ndarray, h0: Optional[jnp.ndarray] = None
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    act = ACT[cfg["linear_act"]]
+    xin = act(grouped_linear_apply(params["linear_in"], x))
+    out, h = gru_apply(params["gru"], xin, h0)
+    if cfg["skip"] == "identity":
+        out = out + xin
+    if "linear_out" in params:
+        out = act(grouped_linear_apply(params["linear_out"], out))
+    return out, h
+
+
+def squeezed_gru_step(
+    params: Params, cfg: Dict, h: jnp.ndarray, x: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    act = ACT[cfg["linear_act"]]
+    xin = act(grouped_linear_apply(params["linear_in"], x))
+    h_new, out = gru_step(params["gru"], h, xin)
+    if cfg["skip"] == "identity":
+        out = out + xin
+    if "linear_out" in params:
+        out = act(grouped_linear_apply(params["linear_out"], out))
     return h_new, out
