@@ -1,0 +1,120 @@
+"""HDF5 dataset reading + key caches (reference: libDF/src/dataset.rs:123-214,
+1487-1972 and hdf5_key_cache.rs).
+
+Layout: one HDF5 file per corpus with groups `speech` / `noise` / `rir`,
+root attrs `sr`, `max_freq`, `codec` (pcm|vorbis|flac), `dtype`
+(int16|float32), per-key datasets (PCM: [C, T] or [T]; compressed codecs:
+uint8 byte streams with an `n_samples` attr). Sidecar key caches
+(`.cache_<name>.cfg` JSON validated by mtime+size) avoid re-listing large
+files.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List, Optional, Tuple
+
+import h5py
+import numpy as np
+
+from deepfilternet_tpu.data import _native
+
+
+class Hdf5Dataset:
+    def __init__(self, path: str, sr: Optional[int] = None,
+                 max_freq: Optional[int] = None):
+        self.path = path
+        self.name = os.path.basename(path)
+        self.file = h5py.File(path, "r")
+        attrs = dict(self.file.attrs)
+        self.sr = int(attrs.get("sr", sr or 48000))
+        self.max_freq = int(attrs.get("max_freq", max_freq or self.sr // 2))
+        self.codec = str(attrs.get("codec", "pcm"))
+        self.dtype = str(attrs.get("dtype", "int16"))
+        self.groups = [g for g in ("speech", "noise", "rir") if g in self.file]
+
+    def keys(self, group: str) -> List[str]:
+        if group not in self.file:
+            return []
+        return load_key_cache(self.path, group) or sorted(self.file[group].keys())
+
+    def sample_len(self, group: str, key: str) -> int:
+        ds = self.file[group][key]
+        if self.codec == "pcm":
+            return ds.shape[-1]
+        return int(ds.attrs.get("n_samples", [0])[0])
+
+    def read(self, group: str, key: str, max_len: Optional[int] = None,
+             rng: Optional[np.random.Generator] = None) -> np.ndarray:
+        """Read (and decode) a sample -> float32 [C, T].
+
+        For PCM, long samples are slice-read with a random offset when
+        max_len is given (dataset.rs:976-1035); compressed codecs decode the
+        full clip then crop.
+        """
+        ds = self.file[group][key]
+        if self.codec == "pcm":
+            total = ds.shape[-1]
+            if max_len is not None and total > max_len:
+                start = int(rng.integers(0, total - max_len)) if rng is not None else 0
+                raw = ds[..., start : start + max_len]
+            else:
+                raw = ds[...]
+            audio = self._to_float(np.atleast_2d(raw))
+        else:
+            data = bytes(np.asarray(ds[...], np.uint8).tobytes())
+            hint = self.sample_len(group, key)
+            if self.codec == "vorbis":
+                audio, _ = _native.decode_vorbis(data, hint)
+            elif self.codec == "flac":
+                audio, _ = _native.decode_flac(data, hint)
+            else:
+                raise ValueError(f"Unknown codec {self.codec}")
+            if max_len is not None and audio.shape[-1] > max_len:
+                start = int(rng.integers(0, audio.shape[-1] - max_len)) if rng is not None else 0
+                audio = audio[..., start : start + max_len]
+        return np.ascontiguousarray(audio, np.float32)
+
+    def _to_float(self, x: np.ndarray) -> np.ndarray:
+        if x.dtype == np.int16:
+            return x.astype(np.float32) / 32768.0
+        return x.astype(np.float32)
+
+    def close(self):
+        self.file.close()
+
+
+# -- key cache (hdf5_key_cache.rs:6-67) -------------------------------------
+
+
+def _cache_path(h5_path: str) -> str:
+    d, name = os.path.split(h5_path)
+    return os.path.join(d, f".cache_{os.path.splitext(name)[0]}.cfg")
+
+
+def _file_hash(h5_path: str) -> Tuple[float, int]:
+    st = os.stat(h5_path)
+    return (st.st_mtime, st.st_size)
+
+
+def store_key_cache(h5_path: str, keys_by_group: Dict[str, List[str]]):
+    payload = {"hash": list(_file_hash(h5_path)), "keys": keys_by_group}
+    try:
+        with open(_cache_path(h5_path), "w") as f:
+            json.dump(payload, f)
+    except OSError:
+        pass  # read-only dataset dir; cache is best-effort
+
+
+def load_key_cache(h5_path: str, group: str) -> Optional[List[str]]:
+    path = _cache_path(h5_path)
+    if not os.path.isfile(path):
+        return None
+    try:
+        payload = json.load(open(path))
+    except (OSError, json.JSONDecodeError):
+        return None
+    if tuple(payload.get("hash", ())) != _file_hash(h5_path):
+        return None  # stale
+    return payload.get("keys", {}).get(group)
