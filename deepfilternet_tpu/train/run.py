@@ -1,0 +1,228 @@
+"""Training entry point (reference: df/train.py:47-321).
+
+`python -m deepfilternet_tpu.train.run data.cfg data_dir base_dir` trains
+the configured model with the reference's training-loop semantics: cosine
+lr/wd schedules applied per iteration, NaN-skip guard with MAX_NANS limit,
+checkpoint write per epoch with best tracking + early-stopping patience,
+SIGUSR1 -> `continue` file for cluster resubmission, deterministic
+epoch-seeded data, final test epoch.
+
+TPU-native: one jitted train step; the batch is sharded over the data axis
+of a device mesh when more than one device is present.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import signal
+import sys
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deepfilternet_tpu.checkpoint import (
+    check_patience,
+    log_best,
+    read_best,
+    read_cp,
+    write_cp,
+)
+from deepfilternet_tpu.config import config
+from deepfilternet_tpu.data.dataloader import DataLoader
+from deepfilternet_tpu.data.dataset import DatasetConfig, FdDataset, TdDataset
+from deepfilternet_tpu.models import init_model
+from deepfilternet_tpu.ops import Stft, erb_widths
+from deepfilternet_tpu.train.loss import Loss
+from deepfilternet_tpu.train.lr import cosine_scheduler
+from deepfilternet_tpu.train.trainer import (
+    MAX_NANS,
+    TrainState,
+    init_train_state,
+    load_opt_config,
+    make_optimizer,
+    make_train_step,
+)
+
+should_stop = False
+
+
+def _sigusr1(signum, frame):  # pragma: no cover - signal path
+    global should_stop
+    should_stop = True
+
+
+def batch_to_arrays(batch) -> Dict[str, np.ndarray]:
+    def ri(x):
+        return np.stack([x.real, x.imag], axis=-1).astype(np.float32)
+
+    return {
+        "noisy": ri(batch.spec_noisy),
+        "clean": ri(batch.spec_clean),
+        "feat_erb": batch.feat_erb,
+        "feat_spec": ri(batch.feat_spec),
+    }
+
+
+def train(
+    data_cfg_path: str,
+    data_dir: str,
+    base_dir: str,
+    max_epochs: Optional[int] = None,
+    num_workers: int = 4,
+    debug: bool = False,
+):
+    os.makedirs(base_dir, exist_ok=True)
+    ckpt_dir = os.path.join(base_dir, "checkpoints")
+    cfg_path = os.path.join(base_dir, "config.ini")
+    config.reset()
+    config.load(cfg_path if os.path.isfile(cfg_path) else None, allow_reload=True)
+
+    seed = config("SEED", 42, int, section="train")
+    model_name = config("MODEL", "deepfilternet3", str, section="train")
+    epochs = max_epochs or config("MAX_EPOCHS", 10, int, section="train")
+    batch_size = config("BATCH_SIZE", 8, int, section="train")
+    batch_size_eval = config("BATCH_SIZE_EVAL", batch_size, int, section="train")
+    max_sample_len_s = config("MAX_SAMPLE_LEN_S", 5.0, float, section="train")
+    patience = config("EARLY_STOPPING_PATIENCE", 5, int, section="train")
+    overfit = config("OVERFIT", False, bool, section="train")
+    p_reverb = config("p_reverb", 0.0, float, section="distortion")
+
+    try:
+        signal.signal(signal.SIGUSR1, _sigusr1)
+    except ValueError:
+        pass  # not on main thread (tests)
+
+    params, model_state, cfg, module = init_model(model_name, seed=seed)
+    p_mod = module.ModelParams3() if hasattr(module, "ModelParams3") else None
+    sr = config("SR", 48000, int, section="DF")
+    fft_size = config("FFT_SIZE", 960, int, section="DF")
+    hop_size = config("HOP_SIZE", 480, int, section="DF")
+    stft_cfg = Stft(sr=sr, fft_size=fft_size, hop_size=hop_size)
+    widths = cfg["erb_widths"]
+    loss_obj = Loss(stft_cfg, widths, cfg["nb_df"], (cfg["lsnr_min"], cfg["lsnr_max"]))
+
+    # data
+    ds_cfg = DatasetConfig.open(data_cfg_path)
+    loaders = {}
+    for split in ("train", "valid", "test"):
+        td = TdDataset(
+            data_dir, ds_cfg.split(split), split, sr=sr,
+            max_len_s=max_sample_len_s, p_reverb=p_reverb, seed=seed,
+        )
+        fd = FdDataset(td, fft_size, hop_size, cfg["nb_erb"], cfg["nb_df"])
+        loaders[split] = DataLoader(
+            fd, batch_size, num_workers=num_workers, overfit=overfit,
+            batch_size_eval=batch_size_eval, drop_last=(split == "train"),
+        )
+
+    opt_cfg = load_opt_config()
+    optimizer = make_optimizer(opt_cfg)
+    step_fn = jax.jit(make_train_step(module, cfg, loss_obj, optimizer))
+
+    # resume
+    start_epoch = 0
+    payload = read_cp(ckpt_dir, "latest")
+    ts = init_train_state(params, model_state, optimizer)
+    if payload is not None:
+        ts = ts._replace(params=payload["params"], model_state=payload["state"])
+        start_epoch = payload["epoch"] + 1
+        print(f"Resuming from epoch {payload['epoch']}")
+
+    niter = loaders["train"].len_of("train")
+    lr_sched = cosine_scheduler(
+        opt_cfg["lr"], opt_cfg["lr_min"], epochs, niter,
+        warmup_epochs=opt_cfg["warmup_epochs"], start_warmup_value=opt_cfg["lr_warmup"],
+        initial_ep_per_cycle=opt_cfg["lr_cycle_epochs"],
+        cycle_decay=opt_cfg["lr_cycle_decay"], cycle_mul=opt_cfg["lr_cycle_mul"],
+    )
+    wd_end = opt_cfg["weight_decay_end"]
+    wd_sched = (
+        cosine_scheduler(opt_cfg["weight_decay"], wd_end, epochs, niter)
+        if wd_end >= 0 else None
+    )
+    config.save(cfg_path)
+
+    eval_fn = jax.jit(
+        lambda params, state, batch: module.forward(
+            params, state, cfg, batch["noisy"], batch["feat_erb"], batch["feat_spec"],
+            train=False,
+        )[0]
+    )
+
+    def run_eval(split: str, epoch: int) -> float:
+        losses = []
+        for batch in loaders[split].iter_epoch(split, epoch):
+            arrays = {k: jnp.asarray(v) for k, v in batch_to_arrays(batch).items()}
+            spec_e, m, lsnr, _ = eval_fn(ts.params, ts.model_state, arrays)
+            clean = arrays["clean"][..., 0] + 1j * arrays["clean"][..., 1]
+            noisy = arrays["noisy"][..., 0] + 1j * arrays["noisy"][..., 1]
+            enh = spec_e[..., 0] + 1j * spec_e[..., 1]
+            total, _ = loss_obj(clean, noisy, enh, m, lsnr)
+            losses.append(float(total))
+        return float(np.mean(losses)) if losses else float("inf")
+
+    global should_stop
+    for epoch in range(start_epoch, epochs):
+        t0 = time.time()
+        n_steps = 0
+        loss_sum = 0.0
+        for bi, batch in enumerate(loaders["train"].iter_epoch("train", epoch)):
+            it = min(epoch * niter + bi, len(lr_sched) - 1)
+            lr = jnp.asarray(lr_sched[it], jnp.float32)
+            wd = jnp.asarray(
+                wd_sched[it] if wd_sched is not None else opt_cfg["weight_decay"],
+                jnp.float32,
+            )
+            arrays = {k: jnp.asarray(v) for k, v in batch_to_arrays(batch).items()}
+            ts, metrics = step_fn(ts, arrays, lr, wd)
+            loss_sum += float(metrics["loss"])
+            n_steps += 1
+            if int(ts.nan_count) > MAX_NANS:
+                raise RuntimeError(f"Too many NaNs ({int(ts.nan_count)}), aborting")
+            if debug and bi >= 2:
+                break
+        train_loss = loss_sum / max(n_steps, 1)
+        print(f"epoch {epoch}: train loss {train_loss:.4f} "
+              f"({n_steps} steps, {time.time() - t0:.1f}s, lr {float(lr):.2e})")
+
+        valid_loss = run_eval("valid", epoch)
+        print(f"epoch {epoch}: valid loss {valid_loss:.4f}")
+        best = read_best(ckpt_dir)
+        is_best = best is None or valid_loss < best[1]
+        write_cp(ckpt_dir, ts.params, ts.model_state, epoch, opt_state=None,
+                 is_best=is_best)
+        if is_best:
+            log_best(ckpt_dir, epoch, valid_loss)
+        if not check_patience(ckpt_dir, patience, valid_loss, maximize=False):
+            print("Early stopping triggered")
+            break
+        if should_stop:
+            with open(os.path.join(base_dir, "continue"), "w") as f:
+                f.write(str(epoch))
+            print("SIGUSR1 received; wrote continue file")
+            break
+
+    test_loss = run_eval("test", 0)
+    print(f"final test loss {test_loss:.4f}")
+    return ts, test_loss
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="Train a DeepFilterNet-TPU model")
+    parser.add_argument("data_config")
+    parser.add_argument("data_dir")
+    parser.add_argument("base_dir")
+    parser.add_argument("--max-epochs", type=int, default=None)
+    parser.add_argument("--num-workers", type=int, default=4)
+    parser.add_argument("--debug", action="store_true")
+    args = parser.parse_args(argv)
+    train(args.data_config, args.data_dir, args.base_dir,
+          max_epochs=args.max_epochs, num_workers=args.num_workers, debug=args.debug)
+
+
+if __name__ == "__main__":
+    main()
