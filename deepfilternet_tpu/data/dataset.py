@@ -442,6 +442,14 @@ class FdDataset:
         s = self.td.get_sample(idx, seed)
         spec_clean = self._stft(s["speech"])
         spec_noisy = self._stft(s["noisy"])
+        if s["max_freq"] < self.td.sr // 2:
+            # spectral bandwidth extension of the (bandlimited) noisy input
+            # so the model always sees full-band features (dataset.rs:876-901)
+            from deepfilternet_tpu.ops.bandwidth import ext_bandwidth_spectral
+
+            cbin = int(s["max_freq"] / (self.td.sr / self.fft_size))
+            spec_noisy = ext_bandwidth_spectral(spec_noisy, cbin, self.td.sr,
+                                                n_bins_overlap=4)
         # exponential norms, sequential over frames (numerics oracle path)
         power = np.abs(spec_noisy) ** 2
         erb_db = 10.0 * np.log10(power @ self.erb_fb + 1e-10)

@@ -1,0 +1,136 @@
+"""Auxiliary subsystem tests: bandwidth ops, logger, seed, scripts."""
+
+import os
+
+import numpy as np
+import pytest
+
+from deepfilternet_tpu.ops.bandwidth import (
+    estimate_bandwidth,
+    ext_bandwidth_spectral,
+    rfftfreqs,
+)
+
+
+class TestBandwidth:
+    def _spec_with_cutoff(self, rng, cutoff_hz, sr=48000, n_fft=960, t=60):
+        f = n_fft // 2 + 1
+        spec = (rng.standard_normal((1, t, f)) + 1j * rng.standard_normal((1, t, f))
+                ).astype(np.complex64)
+        freqs = rfftfreqs(f, sr)
+        spec[:, :, freqs > cutoff_hz] *= 1e-9
+        return spec
+
+    @pytest.mark.parametrize("cutoff", [8000, 12000, 16000, 20000])
+    def test_estimate(self, rng, cutoff):
+        spec = self._spec_with_cutoff(rng, cutoff)
+        cbin = estimate_bandwidth(spec, 48000, -120.0, 10)
+        est_freq = rfftfreqs(spec.shape[-1], 48000)[cbin]
+        assert abs(est_freq - cutoff) < 2500
+
+    def test_fullband_returns_top(self, rng):
+        spec = self._spec_with_cutoff(rng, 48000)
+        cbin = estimate_bandwidth(spec, 48000, -120.0, 10)
+        assert cbin == spec.shape[-1] - 1
+
+    def test_extension_fills_upper_bins(self, rng):
+        spec = self._spec_with_cutoff(rng, 8000)
+        cbin = 8000 * 960 // 48000
+        ext = ext_bandwidth_spectral(spec, cbin, 48000)
+        upper = np.abs(ext[:, :, cbin + 1 :])
+        assert upper.mean() > 1e-3  # previously ~1e-9
+        # lower part untouched
+        np.testing.assert_array_equal(ext[:, :, : cbin - 10], spec[:, :, : cbin - 10])
+
+
+class TestLogger:
+    def test_log_metrics_and_warn_once(self, caplog):
+        import logging
+
+        from deepfilternet_tpu.utils.logger import init_logger, log_metrics, warn_once
+
+        logger = init_logger("DEBUG")
+        with caplog.at_level(logging.DEBUG, logger="df"):
+            log_metrics("train", {"loss": 1.2345, "lr": 5e-4})
+            warn_once("same message")
+            warn_once("same message")
+        text = caplog.text
+        assert "loss: 1.23450" in text
+        assert text.count("same message") == 1
+
+    def test_model_summary(self):
+        import jax
+
+        from deepfilternet_tpu.config import config
+        from deepfilternet_tpu.models.dfnet3 import init_dfnet3
+        from deepfilternet_tpu.utils.logger import count_params, model_summary
+
+        config.reset()
+        params, _, cfg = init_dfnet3(jax.random.PRNGKey(0))
+        n = count_params(params)
+        assert 1.5e6 < n < 4e6  # DFN3 is ~2.3M params
+        s = model_summary(params, cfg)
+        assert "M params" in s
+
+
+class TestSeed:
+    def test_seed_gate(self):
+        import deepfilternet_tpu.utils.seed as seed_mod
+
+        seed_mod._GLOBAL_SEED = None
+        with pytest.raises(RuntimeError):
+            seed_mod.derive_rng(1)
+        seed_mod.seed_everything(123)
+        r1 = seed_mod.derive_rng(1).standard_normal(4)
+        r2 = seed_mod.derive_rng(1).standard_normal(4)
+        np.testing.assert_array_equal(r1, r2)
+
+
+class TestScripts:
+    def test_prepare_data_roundtrip(self, tmp_path):
+        from deepfilternet_tpu.data.hdf5 import Hdf5Dataset
+        from deepfilternet_tpu.scripts.prepare_data import prepare
+
+        out = str(tmp_path / "test.hdf5")
+        n = prepare("speech", out, ["/root/reference/assets/clean_freesound_33711.wav"])
+        assert n == 1
+        ds = Hdf5Dataset(out)
+        keys = ds.keys("speech")
+        assert len(keys) == 1
+        audio = ds.read("speech", keys[0])
+        from deepfilternet_tpu.utils.audio_io import load_audio
+
+        ref, _ = load_audio("/root/reference/assets/clean_freesound_33711.wav")
+        np.testing.assert_allclose(audio, ref, atol=1.0 / 32000)
+
+    def test_export_and_reload(self, tmp_path):
+        """Export artifact round trip incl. StableHLO playback."""
+        import jax.numpy as jnp
+
+        from deepfilternet_tpu.checkpoint import write_cp
+        from deepfilternet_tpu.config import config
+        from deepfilternet_tpu.enhance import init_df
+        from deepfilternet_tpu.scripts.export import export_model, load_exported
+
+        config.reset()
+        base = str(tmp_path / "model")
+        os.makedirs(base, exist_ok=True)
+        model, df_state, _ = init_df()
+        write_cp(os.path.join(base, "checkpoints"), model.params, model.state, 0)
+        config.obj.save(os.path.join(base, "config.ini"))
+        out = str(tmp_path / "model.tar.gz")
+        export_model(base, out)
+        fn = load_exported(out, "offline.stablehlo")
+        spec = jnp.zeros((1, 10, 481, 2))
+        fe = jnp.zeros((1, 10, 32))
+        fs = jnp.zeros((1, 10, 96, 2))
+        spec_e, m, lsnr = fn(spec, fe, fs)
+        assert spec_e.shape == (1, 10, 481, 2)
+
+    def test_visualization(self, tmp_path, rng):
+        from deepfilternet_tpu.utils.visualization import spec_figure
+
+        spec = (rng.standard_normal((50, 481)) + 1j * rng.standard_normal((50, 481)))
+        p = str(tmp_path / "spec.png")
+        spec_figure(spec, path=p, title="test")
+        assert os.path.getsize(p) > 1000
