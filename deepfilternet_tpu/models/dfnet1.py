@@ -379,4 +379,4 @@ def streaming_cell(params, state, cfg, carry: StreamState1, spec_ri, feat_erb,
         df_ring_im=jnp.imag(new_ring),
     )
     spec_e_ri = jnp.stack([jnp.real(spec_e), jnp.imag(spec_e)], axis=-1)
-    return new_carry, (spec_e_ri, lsnr)
+    return new_carry, (spec_e_ri, lsnr, m)

@@ -413,7 +413,7 @@ def streaming_cell(
         spec_ri:      [B, F, 2] current noisy spectrum frame.
         feat_erb:     [B, E] normalized ERB features for this frame.
         feat_spec_ri: [B, F', 2] normalized complex features.
-    Returns (new_carry, (enhanced_spec [B, F, 2], lsnr [B, 1])).
+    Returns (new_carry, (enhanced_spec [B, F, 2], lsnr [B, 1], mask [B, E])).
     """
     L = cfg["layers"]
     nb_df = cfg["nb_df"]
@@ -505,4 +505,4 @@ def streaming_cell(
         df_ring_im=jnp.imag(new_ring),
     )
     spec_e_ri = jnp.stack([jnp.real(spec_e), jnp.imag(spec_e)], axis=-1)
-    return new_carry, (spec_e_ri, lsnr)
+    return new_carry, (spec_e_ri, lsnr, m)

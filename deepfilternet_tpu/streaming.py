@@ -41,14 +41,34 @@ class StreamCarry(NamedTuple):
     synthesis_mem: jnp.ndarray  # [S, fft-hop]
     mean_norm: jnp.ndarray  # [S, E]
     unit_norm: jnp.ndarray  # [S, F']
+    silence_ctr: jnp.ndarray  # [S] consecutive sub-threshold frames
     model: Any  # model StreamState
 
 
+class RuntimeParams(NamedTuple):
+    """Streaming runtime knobs (tract.rs:94-193 RuntimeParams parity)."""
+
+    atten_lim_db: float = 0.0          # 0 disables the mixback limit
+    post_filter_beta: float = 0.0      # >0 enables the Valin post-filter
+    lsnr_min: float = -10.0            # below: output silenced (skip stages)
+    lsnr_max_erb: float = 30.0         # above: bypass both stages
+    lsnr_max_df: float = 20.0          # above: ERB gains only, no DF
+    lsnr_gating: bool = False          # enable the LSNR stage gating
+    silence_rms_thresh: float = 1e-7   # RMS silence skip (tract.rs:512-525)
+    silence_skip_frames: int = 5
+    reduce_mask: str = "none"          # none|max|mean over channel groups
+    n_channels: int = 1
+
+
 class StreamingRuntime:
-    def __init__(self, model, df_state, dtype=jnp.float32):
+    def __init__(self, model, df_state, params: RuntimeParams = RuntimeParams(),
+                 dtype=jnp.float32):
         self.model = model
         self.df_state = df_state
         self.cfg = model.cfg
+        self.rt = params
+        if params.post_filter_beta > 0:
+            self.cfg = dict(self.cfg, mask_pf=True, pf_beta=params.post_filter_beta)
         self.stft_cfg: Stft = df_state.stft_cfg
         self.alpha = get_norm_alpha(
             df_state.sr, df_state.hop_size, config("NORM_TAU", 1.0, float, section="DF")
@@ -72,6 +92,7 @@ class StreamingRuntime:
             unit_norm=jnp.broadcast_to(
                 jnp.asarray(unit_norm_init(self.nb_df)), (n_streams, self.nb_df)
             ),
+            silence_ctr=jnp.zeros((n_streams,), jnp.int32),
             model=self.model.module.streaming_init(n_streams, self.cfg),
         )
 
@@ -90,13 +111,55 @@ class StreamingRuntime:
 
         spec_ri = jnp.stack([jnp.real(spec), jnp.imag(spec)], axis=-1)
         feat_cplx_ri = jnp.stack([jnp.real(feat_cplx), jnp.imag(feat_cplx)], axis=-1)
-        mstate, (spec_e_ri, _lsnr) = self.model.module.streaming_cell(
+        mstate, (spec_e_ri, lsnr, mask) = self.model.module.streaming_cell(
             self.model.params, self.model.state, cfg, carry.model,
             spec_ri, feat_erb, feat_cplx_ri,
         )
+        rt = self.rt
+
+        # multichannel mask reduction (tract.rs:117-193 NONE/MAX/MEAN):
+        # streams are (stream, channel) groups; reduce over the channel axis
+        # and re-apply the shared mask to every channel's spectrum.
+        if rt.reduce_mask != "none" and rt.n_channels > 1:
+            c = rt.n_channels
+            mg = mask.reshape(-1, c, mask.shape[-1])
+            mg = jnp.max(mg, axis=1) if rt.reduce_mask == "max" else jnp.mean(mg, axis=1)
+            mask = jnp.repeat(mg, c, axis=0)
+            bin_gains = mask @ jnp.asarray(cfg["erb_inv_fb"])
+            spec_shared = (spec * bin_gains).astype(jnp.complex64)
+            spec_e_ri = jnp.stack([jnp.real(spec_shared), jnp.imag(spec_shared)], -1)
+
         spec_e = spec_e_ri[..., 0] + 1j * spec_e_ri[..., 1]
+
+        # LSNR-gated stage selection (tract.rs:658-672): batched inference
+        # computes all stages and selects per stream.
+        if rt.lsnr_gating:
+            ls = lsnr[..., 0]  # [S]
+            bin_gains = mask @ jnp.asarray(cfg["erb_inv_fb"])
+            spec_m = spec * bin_gains
+            zero = jnp.zeros_like(spec)
+            spec_e = jnp.where((ls < rt.lsnr_min)[:, None], zero, spec_e)
+            spec_e = jnp.where(
+                ((ls > rt.lsnr_max_df) & (ls <= rt.lsnr_max_erb))[:, None],
+                spec_m, spec_e,
+            )
+            spec_e = jnp.where((ls > rt.lsnr_max_erb)[:, None], spec, spec_e)
+
+        # attenuation-limit mixback (tract.rs:626-629)
+        if rt.atten_lim_db and abs(rt.atten_lim_db) > 0:
+            lim = 10.0 ** (-abs(rt.atten_lim_db) / 20.0)
+            spec_e = spec * lim + spec_e * (1.0 - lim)
+
+        # RMS silence skip (tract.rs:512-525): after `silence_skip_frames`
+        # consecutive quiet frames, output zeros
+        frame_rms = jnp.sqrt(jnp.mean(frame**2, axis=-1))
+        quiet = frame_rms < rt.silence_rms_thresh
+        ctr = jnp.where(quiet, carry.silence_ctr + 1, 0)
+        spec_e = jnp.where((ctr >= rt.silence_skip_frames)[:, None],
+                           jnp.zeros_like(spec_e), spec_e)
+
         smem, out = synthesis_step(carry.synthesis_mem, spec_e, self.stft_cfg)
-        return StreamCarry(amem, smem, mn, un, mstate), out
+        return StreamCarry(amem, smem, mn, un, ctr, mstate), out
 
     # -- public API ----------------------------------------------------------
 

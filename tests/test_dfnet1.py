@@ -42,7 +42,7 @@ class TestDfNet1:
         carry = dfnet1.streaming_init(b, cfg)
         outs = []
         for i in range(t):
-            carry, (se, _) = dfnet1.streaming_cell(
+            carry, (se, _, _m) = dfnet1.streaming_cell(
                 params, state, cfg, carry, spec[:, i], fe[:, i], fs[:, i]
             )
             outs.append(np.asarray(se))

@@ -53,7 +53,7 @@ class TestDfNet2:
         carry = dfnet2.streaming_init(b, cfg)
         outs = []
         for i in range(t):
-            carry, (se, ls) = dfnet2.streaming_cell(
+            carry, (se, ls, _m) = dfnet2.streaming_cell(
                 params, state, cfg, carry, spec[:, i], fe[:, i], fs[:, i]
             )
             outs.append(np.asarray(se))

@@ -94,7 +94,7 @@ class TestStreaming:
         carry = streaming_init(b, cfg)
         outs, lsnrs = [], []
         for i in range(t):
-            carry, (se, ls) = streaming_cell(
+            carry, (se, ls, _m) = streaming_cell(
                 params, state, cfg, carry, spec[:, i], feat_erb[:, i], feat_spec[:, i]
             )
             outs.append(np.asarray(se))
@@ -119,7 +119,7 @@ class TestStreaming:
 
             def step(c, xs):
                 s, e, f = xs
-                c2, (se, ls) = streaming_cell(params, state, cfg, c, s, e, f)
+                c2, (se, ls, _m) = streaming_cell(params, state, cfg, c, s, e, f)
                 return c2, se
 
             _, out = jax.lax.scan(
