@@ -33,7 +33,13 @@ from deepfilternet_tpu.ops.norms import (
     unit_norm_init,
     unit_norm_step,
 )
-from deepfilternet_tpu.ops.stft import Stft, analysis_step, synthesis_step
+from deepfilternet_tpu.ops.stft import (
+    Stft,
+    analysis_step,
+    analysis_step_ri,
+    synthesis_step,
+    synthesis_step_ri,
+)
 
 
 class StreamCarry(NamedTuple):
@@ -102,15 +108,22 @@ class StreamingRuntime:
               ) -> Tuple[StreamCarry, jnp.ndarray]:
         """frame: [S, hop] -> (carry', enhanced [S, hop])."""
         cfg = self.cfg
-        amem, spec = analysis_step(carry.analysis_mem, frame, self.stft_cfg)
+        # analysis as MXU matmuls (window + wnorm folded into the DFT
+        # matrices — an order of magnitude faster than XLA's TPU FFT here)
+        amem, spec_re, spec_im = analysis_step_ri(carry.analysis_mem, frame, self.stft_cfg)
         # features (DFState::feat_erb / feat_cplx, lib.rs:206-221)
-        power = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
+        power = spec_re**2 + spec_im**2
         erb_db = 10.0 * jnp.log10(power @ self.erb_fwd + 1e-10)
         mn, feat_erb = erb_norm_step(carry.mean_norm, erb_db, self.alpha)
-        un, feat_cplx = unit_norm_step(carry.unit_norm, spec[..., : self.nb_df], self.alpha)
-
-        spec_ri = jnp.stack([jnp.real(spec), jnp.imag(spec)], axis=-1)
-        feat_cplx_ri = jnp.stack([jnp.real(feat_cplx), jnp.imag(feat_cplx)], axis=-1)
+        mag_lo = jnp.sqrt(power[..., : self.nb_df])
+        un = mag_lo * (1.0 - self.alpha) + carry.unit_norm * self.alpha
+        un_scale = jax.lax.rsqrt(un)
+        feat_cplx_ri = jnp.stack(
+            [spec_re[..., : self.nb_df] * un_scale, spec_im[..., : self.nb_df] * un_scale],
+            axis=-1,
+        )
+        spec = (spec_re + 1j * spec_im).astype(jnp.complex64)
+        spec_ri = jnp.stack([spec_re, spec_im], axis=-1)
         mstate, (spec_e_ri, lsnr, mask) = self.model.module.streaming_cell(
             self.model.params, self.model.state, cfg, carry.model,
             spec_ri, feat_erb, feat_cplx_ri,
@@ -158,7 +171,9 @@ class StreamingRuntime:
         spec_e = jnp.where((ctr >= rt.silence_skip_frames)[:, None],
                            jnp.zeros_like(spec_e), spec_e)
 
-        smem, out = synthesis_step(carry.synthesis_mem, spec_e, self.stft_cfg)
+        smem, out = synthesis_step_ri(
+            carry.synthesis_mem, jnp.real(spec_e), jnp.imag(spec_e), self.stft_cfg
+        )
         return StreamCarry(amem, smem, mn, un, ctr, mstate), out
 
     # -- public API ----------------------------------------------------------
