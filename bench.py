@@ -35,8 +35,8 @@ def main():
     model, df_state, _ = init_df()
     rt = StreamingRuntime(model, df_state)
 
-    n_streams = int(os.environ.get("BENCH_STREAMS", "512"))
-    seconds = float(os.environ.get("BENCH_SECONDS", "2.0"))
+    n_streams = int(os.environ.get("BENCH_STREAMS", "2048"))
+    seconds = float(os.environ.get("BENCH_SECONDS", "4.0"))
     sr = df_state.sr
     hop = df_state.hop_size
     t = int(seconds * sr) // hop * hop

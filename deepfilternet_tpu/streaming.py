@@ -73,6 +73,16 @@ class StreamingRuntime:
         self.df_state = df_state
         self.cfg = model.cfg
         self.rt = params
+        self.dtype = dtype
+        if dtype != jnp.float32:
+            # cast model weights once; features are cast per frame. The
+            # spectrum/DF/mask application stays f32 for output fidelity.
+            import copy
+
+            self.model = copy.copy(model)
+            cast = lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x
+            self.model.params = jax.tree.map(cast, model.params)
+            self.model.state = jax.tree.map(cast, model.state)
         if params.post_filter_beta > 0:
             self.cfg = dict(self.cfg, mask_pf=True, pf_beta=params.post_filter_beta)
         self.stft_cfg: Stft = df_state.stft_cfg
@@ -99,8 +109,20 @@ class StreamingRuntime:
                 jnp.asarray(unit_norm_init(self.nb_df)), (n_streams, self.nb_df)
             ),
             silence_ctr=jnp.zeros((n_streams,), jnp.int32),
-            model=self.model.module.streaming_init(n_streams, self.cfg),
+            model=self._init_model_carry(n_streams),
         )
+
+    def _init_model_carry(self, n_streams: int):
+        carry = self.model.module.streaming_init(n_streams, self.cfg)
+        if self.dtype == jnp.float32:
+            return carry
+        cast = jax.tree.map(
+            lambda x: x.astype(self.dtype) if x.dtype == jnp.float32 else x, carry
+        )
+        # DF ring buffers hold spectrum values: keep f32 (the cell writes
+        # them back as f32 real/imag parts of a complex64 MAC)
+        keep = {f: getattr(carry, f) for f in carry._fields if "ring" in f}
+        return cast._replace(**keep)
 
     # -- per-frame cell ------------------------------------------------------
 
@@ -124,10 +146,18 @@ class StreamingRuntime:
         )
         spec = (spec_re + 1j * spec_im).astype(jnp.complex64)
         spec_ri = jnp.stack([spec_re, spec_im], axis=-1)
+        if self.dtype != jnp.float32:
+            feat_erb = feat_erb.astype(self.dtype)
+            feat_cplx_ri = feat_cplx_ri.astype(self.dtype)
+            spec_ri = spec_ri.astype(self.dtype)
         mstate, (spec_e_ri, lsnr, mask) = self.model.module.streaming_cell(
             self.model.params, self.model.state, cfg, carry.model,
             spec_ri, feat_erb, feat_cplx_ri,
         )
+        if self.dtype != jnp.float32:
+            spec_e_ri = spec_e_ri.astype(jnp.float32)
+            lsnr = lsnr.astype(jnp.float32)
+            mask = mask.astype(jnp.float32)
         rt = self.rt
 
         # multichannel mask reduction (tract.rs:117-193 NONE/MAX/MEAN):
