@@ -68,12 +68,13 @@ class RuntimeParams(NamedTuple):
 
 class StreamingRuntime:
     def __init__(self, model, df_state, params: RuntimeParams = RuntimeParams(),
-                 dtype=jnp.float32):
+                 dtype=jnp.float32, use_pallas: bool = False):
         self.model = model
         self.df_state = df_state
         self.cfg = model.cfg
         self.rt = params
         self.dtype = dtype
+        self.use_pallas = use_pallas
         if dtype != jnp.float32:
             # cast model weights once; features are cast per frame. The
             # spectrum/DF/mask application stays f32 for output fidelity.
@@ -130,20 +131,38 @@ class StreamingRuntime:
               ) -> Tuple[StreamCarry, jnp.ndarray]:
         """frame: [S, hop] -> (carry', enhanced [S, hop])."""
         cfg = self.cfg
-        # analysis as MXU matmuls (window + wnorm folded into the DFT
-        # matrices — an order of magnitude faster than XLA's TPU FFT here)
-        amem, spec_re, spec_im = analysis_step_ri(carry.analysis_mem, frame, self.stft_cfg)
-        # features (DFState::feat_erb / feat_cplx, lib.rs:206-221)
-        power = spec_re**2 + spec_im**2
-        erb_db = 10.0 * jnp.log10(power @ self.erb_fwd + 1e-10)
-        mn, feat_erb = erb_norm_step(carry.mean_norm, erb_db, self.alpha)
-        mag_lo = jnp.sqrt(power[..., : self.nb_df])
-        un = mag_lo * (1.0 - self.alpha) + carry.unit_norm * self.alpha
-        un_scale = jax.lax.rsqrt(un)
-        feat_cplx_ri = jnp.stack(
-            [spec_re[..., : self.nb_df] * un_scale, spec_im[..., : self.nb_df] * un_scale],
-            axis=-1,
-        )
+        if self.use_pallas:
+            # fused VMEM-resident frontend kernel (ops/pallas_frontend.py)
+            from deepfilternet_tpu.ops.pallas_frontend import fused_analysis_frontend
+
+            amem, spec_re, spec_im, feat_erb, fc_re, fc_im, mn, un = (
+                fused_analysis_frontend(
+                    carry.analysis_mem, frame, carry.mean_norm, carry.unit_norm,
+                    fft_size=self.stft_cfg.fft_size, hop_size=self.stft_cfg.hop_size,
+                    nb_erb=self.nb_erb, nb_df=self.nb_df,
+                    min_nb_erb_freqs=self.df_state.min_nb_erb_freqs,
+                    alpha=self.alpha,
+                )
+            )
+            feat_cplx_ri = jnp.stack([fc_re, fc_im], axis=-1)
+        else:
+            # analysis as MXU matmuls (window + wnorm folded into the DFT
+            # matrices — an order of magnitude faster than XLA's TPU FFT here)
+            amem, spec_re, spec_im = analysis_step_ri(
+                carry.analysis_mem, frame, self.stft_cfg
+            )
+            # features (DFState::feat_erb / feat_cplx, lib.rs:206-221)
+            power = spec_re**2 + spec_im**2
+            erb_db = 10.0 * jnp.log10(power @ self.erb_fwd + 1e-10)
+            mn, feat_erb = erb_norm_step(carry.mean_norm, erb_db, self.alpha)
+            mag_lo = jnp.sqrt(power[..., : self.nb_df])
+            un = mag_lo * (1.0 - self.alpha) + carry.unit_norm * self.alpha
+            un_scale = jax.lax.rsqrt(un)
+            feat_cplx_ri = jnp.stack(
+                [spec_re[..., : self.nb_df] * un_scale,
+                 spec_im[..., : self.nb_df] * un_scale],
+                axis=-1,
+            )
         spec = (spec_re + 1j * spec_im).astype(jnp.complex64)
         spec_ri = jnp.stack([spec_re, spec_im], axis=-1)
         if self.dtype != jnp.float32:

@@ -63,3 +63,21 @@ class TestStreamingRuntime:
             c, o = rt.process_frame(c, jnp.asarray(audio[:, i * 480 : (i + 1) * 480]))
             outs.append(np.asarray(o))
         np.testing.assert_allclose(np.concatenate(outs, 1), np.asarray(full), atol=1e-5)
+
+
+class TestPallasFrontend:
+    def test_fused_kernel_matches_jnp(self, setup, rng):
+        """Pallas fused frontend (interpret mode on CPU) must match the jnp
+        path through the whole pipeline."""
+        model, df_state, rt = setup
+        from deepfilternet_tpu.streaming import StreamingRuntime
+
+        rt_p = StreamingRuntime(model, df_state, use_pallas=True)
+        audio = jnp.asarray(
+            rng.standard_normal((2, 480 * 4)).astype(np.float32) * 0.1
+        )
+        _, out_ref = rt.process(rt.init(2), audio)
+        _, out_pal = rt_p.process(rt_p.init(2), audio)
+        np.testing.assert_allclose(
+            np.asarray(out_pal), np.asarray(out_ref), atol=1e-4
+        )
