@@ -89,8 +89,9 @@ def init_df(
     randomly initialized weights (no pretrained download in this
     environment).
     """
-    config.reset()
     if model_base_dir is not None:
+        # a model dir fully defines its configuration
+        config.reset()
         cfg_path = os.path.join(model_base_dir, "config.ini")
         config.load(cfg_path if os.path.isfile(cfg_path) else None,
                     allow_defaults=config_allow_defaults, allow_reload=True)
