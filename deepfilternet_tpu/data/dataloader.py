@@ -125,6 +125,8 @@ class DataLoader:
             # train: epoch_seed + idx; eval: idx (dataloader.rs:270-278)
             return epoch_seed + int(idx) if split == "train" else int(idx)
 
+        from deepfilternet_tpu.utils.timings import GLOBAL_TIMINGS
+
         def worker():
             while not stop.is_set():
                 try:
@@ -132,8 +134,12 @@ class DataLoader:
                 except queue.Empty:
                     return
                 try:
-                    samples = [self.dataset.get_sample(int(i), seed_for(i)) for i in idxs]
-                    out_q.put((bi, collate(samples)))
+                    with GLOBAL_TIMINGS.timed("dataloader/sample"):
+                        samples = [self.dataset.get_sample(int(i), seed_for(i))
+                                   for i in idxs]
+                    with GLOBAL_TIMINGS.timed("dataloader/collate"):
+                        batch = collate(samples)
+                    out_q.put((bi, batch))
                 except Exception as e:  # surfaced on the consumer side
                     out_q.put((bi, e))
 
