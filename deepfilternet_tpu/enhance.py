@@ -89,6 +89,24 @@ def init_df(
     randomly initialized weights (no pretrained download in this
     environment).
     """
+    if model_base_dir is not None and (
+        model_base_dir.endswith(".tar.gz") or model_base_dir.endswith(".tgz")
+    ):
+        # model artifact tar.gz (scripts/export.py; the DfParams loader
+        # analog, tract.rs:22-92): extract to a cache dir and load from there
+        import hashlib
+        import tarfile
+
+        digest = hashlib.sha256(model_base_dir.encode()).hexdigest()[:12]
+        cache = os.path.join(
+            os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
+            "deepfilternet_tpu", digest,
+        )
+        if not os.path.isdir(cache):
+            os.makedirs(cache, exist_ok=True)
+            with tarfile.open(model_base_dir, "r:gz") as tar:
+                tar.extractall(cache, filter="data")
+        model_base_dir = cache
     if model_base_dir is not None:
         # a model dir fully defines its configuration
         config.reset()

@@ -50,6 +50,43 @@ from deepfilternet_tpu.train.trainer import (
 should_stop = False
 
 
+def _dump_nan_batch(base_dir, batch, epoch, bi, sr):
+    from deepfilternet_tpu.utils.audio_io import save_audio
+
+    out = os.path.join(base_dir, "summaries", "nan")
+    os.makedirs(out, exist_ok=True)
+    for i in range(min(batch.noisy.shape[0], 4)):
+        save_audio(os.path.join(out, f"e{epoch}_b{bi}_{i}_noisy.wav"),
+                   batch.noisy[i], sr)
+        save_audio(os.path.join(out, f"e{epoch}_b{bi}_{i}_clean.wav"),
+                   batch.speech[i], sr)
+
+
+def _write_audio_summaries(base_dir, loader, eval_fn, ts, stft_cfg, epoch, sr,
+                           n_samples: int = 2):
+    """Periodic wav summaries of (noisy, clean, enhanced) via synthesis
+    (train.py:556-593 analog)."""
+    import jax.numpy as jnp
+
+    from deepfilternet_tpu.ops import istft
+    from deepfilternet_tpu.utils.audio_io import save_audio
+
+    out_dir = os.path.join(base_dir, "summaries", f"epoch_{epoch}")
+    try:
+        batch = next(iter(loader.iter_epoch("valid", epoch)))
+    except StopIteration:
+        return
+    os.makedirs(out_dir, exist_ok=True)
+    arrays = {k: jnp.asarray(v) for k, v in batch_to_arrays(batch).items()}
+    spec_e, _, _, _ = eval_fn(ts.params, ts.model_state, arrays)
+    enh = istft(spec_e[..., 0] + 1j * spec_e[..., 1], stft_cfg)
+    for i in range(min(n_samples, batch.noisy.shape[0])):
+        save_audio(os.path.join(out_dir, f"{i}_noisy.wav"), batch.noisy[i], sr)
+        save_audio(os.path.join(out_dir, f"{i}_clean.wav"), batch.speech[i], sr)
+        save_audio(os.path.join(out_dir, f"{i}_enh.wav"),
+                   np.asarray(enh[i]), sr)
+
+
 def _sigusr1(signum, frame):  # pragma: no cover - signal path
     global should_stop
     should_stop = True
@@ -181,6 +218,9 @@ def train(
             ts, metrics = step_fn(ts, arrays, lr, wd)
             loss_sum += float(metrics["loss"])
             n_steps += 1
+            if not bool(metrics["finite"]):
+                # dump the offending batch audio (train.py:392-419 analog)
+                _dump_nan_batch(base_dir, batch, epoch, bi, sr)
             if int(ts.nan_count) > MAX_NANS:
                 raise RuntimeError(f"Too many NaNs ({int(ts.nan_count)}), aborting")
             if debug and bi >= 2:
@@ -189,6 +229,8 @@ def train(
         print(f"epoch {epoch}: train loss {train_loss:.4f} "
               f"({n_steps} steps, {time.time() - t0:.1f}s, lr {float(lr):.2e})")
 
+        _write_audio_summaries(base_dir, loaders["valid"], eval_fn, ts, stft_cfg,
+                               epoch, sr)
         valid_loss = run_eval("valid", epoch)
         print(f"epoch {epoch}: valid loss {valid_loss:.4f}")
         best = read_best(ckpt_dir)

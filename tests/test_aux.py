@@ -177,3 +177,71 @@ class TestGoldenHarness:
         with pytest.raises(SystemExit) as e:
             harness.main([base])
         assert e.value.code == 0
+
+
+class TestLibdfCompat:
+    def test_df_class_api(self):
+        from deepfilternet_tpu.libdf_compat import DF
+
+        df = DF(48000, 960, 480, nb_bands=32)
+        rng = np.random.default_rng(0)
+        audio = rng.standard_normal((1, 48000)).astype(np.float32)
+        spec = df.analysis(audio)
+        assert spec.shape == (1, 100, 481) and spec.dtype == np.complex64
+        out = df.synthesis(spec)
+        assert out.shape == (1, 48000)
+        assert df.erb_widths().sum() == 481
+        assert len(df.fft_window()) == 960
+
+    def test_module_fns(self):
+        from deepfilternet_tpu.libdf_compat import (
+            DF,
+            erb,
+            erb_inv,
+            erb_norm,
+            unit_norm,
+            unit_norm_init,
+        )
+
+        df = DF(48000, 960, 480)
+        rng = np.random.default_rng(1)
+        spec = (rng.standard_normal((1, 20, 481))
+                + 1j * rng.standard_normal((1, 20, 481))).astype(np.complex64)
+        widths = df.erb_widths()
+        e = erb(spec, widths)
+        assert e.shape == (1, 20, 32)
+        en = erb_norm(e, 0.99)
+        assert np.all(np.isfinite(en))
+        g = erb_inv(np.ones((1, 20, 32), np.float32), widths)
+        np.testing.assert_allclose(g, 1.0, atol=1e-6)
+        u = unit_norm(spec[..., :96], 0.99)
+        assert u.shape == (1, 20, 96)
+        s0 = unit_norm_init(96)
+        assert s0.shape == (1, 96)
+
+
+class TestTarGzModel:
+    def test_init_df_from_exported_artifact(self, tmp_path):
+        """init_df accepts a model tar.gz (DfParams loader analog)."""
+        import os
+
+        from deepfilternet_tpu.checkpoint import write_cp
+        from deepfilternet_tpu.config import config
+        from deepfilternet_tpu.enhance import init_df
+        from deepfilternet_tpu.scripts.export import export_model
+
+        config.reset()
+        base = str(tmp_path / "model")
+        os.makedirs(base)
+        model, df_state, _ = init_df()
+        write_cp(os.path.join(base, "checkpoints"), model.params, model.state, 3)
+        config.obj.save(os.path.join(base, "config.ini"))
+        tar = str(tmp_path / "model.tar.gz")
+        export_model(base, tar, skip_hlo=True)
+        os.environ["XDG_CACHE_HOME"] = str(tmp_path / "cache")
+        try:
+            model2, df_state2, suffix = init_df(tar)
+        finally:
+            os.environ.pop("XDG_CACHE_HOME", None)
+        assert suffix == "e3"
+        assert df_state2.sr == df_state.sr
