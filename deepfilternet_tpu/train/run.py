@@ -122,6 +122,19 @@ def train(
     model_name = config("MODEL", "deepfilternet3", str, section="train")
     epochs = max_epochs or config("MAX_EPOCHS", 10, int, section="train")
     batch_size = config("BATCH_SIZE", 8, int, section="train")
+    # host-specific batch-size override (train.py:97-109 /
+    # scripts/set_batch_size.py analog): base_dir/batch_size_by_host.json
+    # maps hostname -> batch size
+    bs_by_host = os.path.join(base_dir, "batch_size_by_host.json")
+    if os.path.isfile(bs_by_host):
+        import json as _json
+        import socket as _socket
+
+        mapping = _json.load(open(bs_by_host))
+        host_bs = mapping.get(_socket.gethostname())
+        if host_bs:
+            print(f"Host batch-size override: {host_bs}")
+            batch_size = int(host_bs)
     batch_size_eval = config("BATCH_SIZE_EVAL", batch_size, int, section="train")
     max_sample_len_s = config("MAX_SAMPLE_LEN_S", 5.0, float, section="train")
     patience = config("EARLY_STOPPING_PATIENCE", 5, int, section="train")

@@ -1,5 +1,6 @@
 """Evaluation suite tests: metric sanity + monotonicity on the assets."""
 
+import os
 import numpy as np
 import pytest
 
@@ -104,3 +105,42 @@ class TestComputeMetrics:
         clean, noisy, sr = audio
         blended = 0.7 * clean + 0.3 * noisy
         assert si_sdr_np(blended, clean) > si_sdr_np(noisy, clean)
+
+
+class TestEvalDir:
+    def test_pairing_and_loop(self, tmp_path):
+        import shutil
+
+        from deepfilternet_tpu.scripts.eval_dir import main as eval_main
+
+        noisy_dir = tmp_path / "noisy"
+        clean_dir = tmp_path / "clean"
+        noisy_dir.mkdir()
+        clean_dir.mkdir()
+        # make a matching pair by truncating the assets
+        from deepfilternet_tpu.utils.audio_io import load_audio, save_audio
+
+        n, sr = load_audio(NOISY)
+        c, _ = load_audio(CLEAN)
+        t = 24000
+        save_audio(str(noisy_dir / "a.wav"), n[:, :t], sr)
+        save_audio(str(clean_dir / "a.wav"), c[:, :t], sr)
+        csv = str(tmp_path / "out.csv")
+        means = eval_main([
+            "--noisy-dir", str(noisy_dir), "--clean-dir", str(clean_dir),
+            "--csv", csv, "--metrics", "sisdr,snrseg", "--workers", "1",
+        ])
+        assert "sisdr" in means and np.isfinite(means["sisdr"])
+        assert os.path.getsize(csv) > 10
+
+    def test_dns_naming(self, tmp_path):
+        from deepfilternet_tpu.scripts.eval_dir import pair_files
+        from deepfilternet_tpu.utils.audio_io import load_audio, save_audio
+
+        noisy_dir = tmp_path / "noisy"; noisy_dir.mkdir()
+        clean_dir = tmp_path / "clean"; clean_dir.mkdir()
+        n, sr = load_audio(NOISY)
+        save_audio(str(noisy_dir / "book_snr5_fileid_7.wav"), n[:, :4800], sr)
+        save_audio(str(clean_dir / "clean_fileid_7.wav"), n[:, :4800], sr)
+        pairs = pair_files(str(noisy_dir), str(clean_dir), dns=True)
+        assert len(pairs) == 1
