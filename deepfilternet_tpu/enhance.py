@@ -34,6 +34,7 @@ from deepfilternet_tpu.ops import (
     istft,
     stft,
 )
+from deepfilternet_tpu.ops.stft import istft_ri
 from deepfilternet_tpu.ops.features import erb_feat as _erb_feat
 from deepfilternet_tpu.ops.features import spec_feat as _spec_feat
 from deepfilternet_tpu.utils.audio_io import load_audio, resample, save_audio
@@ -139,23 +140,39 @@ def init_df(
     return model, df_state, suffix
 
 
+_FEATURE_JIT_CACHE: Dict = {}
+
+
 def df_features(
     audio: np.ndarray, df_state: DfState, nb_df: int, alpha: Optional[float] = None
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Compute (spec [C,T,F,2], erb_feat [C,T,E], spec_feat [C,T,F',2]).
 
     Matches df/enhance.py:190-203: streaming-semantics STFT, dB ERB features
-    with exponential mean norm, unit-normalized complex features.
+    with exponential mean norm, unit-normalized complex features. Runs as
+    one jitted program with real-valued boundaries (complex stays interior —
+    required on TPU runtimes that cannot materialize complex arrays).
     """
     if alpha is None:
         alpha = get_norm_alpha(df_state.sr, df_state.hop_size,
                                config("NORM_TAU", 1.0, float, section="DF"))
-    spec = stft(jnp.asarray(audio), df_state.stft_cfg)  # [C, T, F] complex
-    erb = _erb_feat(spec, df_state.erb_widths, alpha)
-    sf = _spec_feat(spec, nb_df, alpha)
-    spec_ri = jnp.stack([jnp.real(spec), jnp.imag(spec)], axis=-1)
-    sf_ri = jnp.stack([jnp.real(sf), jnp.imag(sf)], axis=-1)
-    return spec_ri, erb, sf_ri
+    key = (df_state.sr, df_state.fft_size, df_state.hop_size, df_state.nb_erb,
+           df_state.min_nb_erb_freqs, nb_df, alpha)
+    if key not in _FEATURE_JIT_CACHE:
+        cfg = df_state.stft_cfg
+        widths = df_state.erb_widths
+
+        @jax.jit
+        def run(audio):
+            spec = stft(audio, cfg)  # complex, interior only
+            erb = _erb_feat(spec, widths, alpha)
+            sf = _spec_feat(spec, nb_df, alpha)
+            spec_ri = jnp.stack([jnp.real(spec), jnp.imag(spec)], axis=-1)
+            sf_ri = jnp.stack([jnp.real(sf), jnp.imag(sf)], axis=-1)
+            return spec_ri, erb, sf_ri
+
+        _FEATURE_JIT_CACHE[key] = run
+    return _FEATURE_JIT_CACHE[key](jnp.asarray(audio))
 
 
 def _get_forward_jit(model: DfModel):
@@ -202,9 +219,12 @@ def enhance(
     if atten_lim_db is not None and abs(atten_lim_db) > 0:
         lim = 10.0 ** (-abs(atten_lim_db) / 20.0)
         spec_e_ri = spec * lim + spec_e_ri * (1.0 - lim)
-    spec_e = jnp.asarray(spec_e_ri)
-    spec_c = spec_e[..., 0] + 1j * spec_e[..., 1]
-    out = np.asarray(istft(spec_c, df_state.stft_cfg))
+    # jitted real-boundary synthesis (complex only interior to XLA programs)
+    key = ("istft_ri", df_state.fft_size, df_state.hop_size)
+    if key not in model._jit_cache:
+        cfg_ = df_state.stft_cfg
+        model._jit_cache[key] = jax.jit(lambda s: istft_ri(s, cfg_))
+    out = np.asarray(model._jit_cache[key](jnp.asarray(spec_e_ri)))
     if pad:
         d = n_fft - hop
         out = out[:, d : orig_len + d]

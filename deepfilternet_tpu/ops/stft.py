@@ -88,13 +88,27 @@ def frame_signal(x: jnp.ndarray, fft_size: int, hop_size: int) -> jnp.ndarray:
     return xp[..., idx]
 
 
+def _use_dft_matmul() -> bool:
+    # XLA's TPU FFT lowering is an order of magnitude slower than the
+    # equivalent MXU matmul at these sizes; CPU keeps the true FFT.
+    import jax
+
+    return jax.default_backend() == "tpu"
+
+
 def stft(x: jnp.ndarray, cfg: Stft) -> jnp.ndarray:
     """Analysis: [..., T] real -> [..., T//hop, F] complex64.
 
     Matches pyDF `DF.analysis` bit-for-bit semantics (modulo fp summation
     order): windowed rfft scaled by wnorm, with fresh (zero) stream state.
+    On TPU the windowed DFT runs as MXU matmuls (see dft_matrices).
     """
     frames = frame_signal(x, cfg.fft_size, cfg.hop_size)
+    if _use_dft_matmul():
+        cos_m, sin_m = dft_matrices(cfg.fft_size, cfg.hop_size)
+        re = frames @ jnp.asarray(cos_m)
+        im = frames @ jnp.asarray(sin_m)
+        return (re + 1j * im).astype(jnp.complex64)
     win = jnp.asarray(cfg.window)
     spec = jnp.fft.rfft(frames * win, axis=-1)
     return (spec * cfg.wnorm).astype(jnp.complex64)
@@ -111,9 +125,14 @@ def istft(spec: jnp.ndarray, cfg: Stft) -> jnp.ndarray:
     n_frames = spec.shape[-2]
     fft = cfg.fft_size
     hop = cfg.hop_size
-    win = jnp.asarray(cfg.window)
-    frames = jnp.fft.irfft(spec, n=fft, axis=-1) * (fft * 1.0)
-    frames = (frames * win).astype(jnp.float32)
+    if _use_dft_matmul():
+        re_m, im_m = idft_matrices(fft)
+        frames = (jnp.real(spec) @ jnp.asarray(re_m)
+                  + jnp.imag(spec) @ jnp.asarray(im_m)).astype(jnp.float32)
+    else:
+        win = jnp.asarray(cfg.window)
+        frames = jnp.fft.irfft(spec, n=fft, axis=-1) * (fft * 1.0)
+        frames = (frames * win).astype(jnp.float32)
 
     # Overlap-add via reshape trick: split each frame into fft//hop hop-sized
     # chunks, then sum shifted diagonals. r = fft//hop is a small static int.
@@ -124,6 +143,28 @@ def istft(spec: jnp.ndarray, cfg: Stft) -> jnp.ndarray:
     out = jnp.zeros(spec.shape[:-2] + (out_len + (r - 1) * hop,), jnp.float32)
     for k in range(r):
         # chunk k of frame i lands at output offset (i + k) * hop
+        seg = chunks[..., :, k, :].reshape(chunks.shape[:-3] + (out_len,))
+        out = out.at[..., k * hop : k * hop + out_len].add(seg)
+    return out[..., :out_len]
+
+
+def istft_ri(spec_ri: jnp.ndarray, cfg: Stft) -> jnp.ndarray:
+    """Synthesis from re/im-split input [..., T', F, 2] -> [..., T'*hop].
+
+    Real-only math end to end (safe at eager/jit boundaries on runtimes
+    that cannot materialize complex arrays in HBM, e.g. the axon TPU
+    plugin)."""
+    n_frames = spec_ri.shape[-3]
+    fft = cfg.fft_size
+    hop = cfg.hop_size
+    re_m, im_m = idft_matrices(fft)
+    frames = (spec_ri[..., 0] @ jnp.asarray(re_m)
+              + spec_ri[..., 1] @ jnp.asarray(im_m)).astype(jnp.float32)
+    r = fft // hop
+    chunks = frames.reshape(frames.shape[:-1] + (r, hop))
+    out_len = n_frames * hop
+    out = jnp.zeros(spec_ri.shape[:-3] + (out_len + (r - 1) * hop,), jnp.float32)
+    for k in range(r):
         seg = chunks[..., :, k, :].reshape(chunks.shape[:-3] + (out_len,))
         out = out.at[..., k * hop : k * hop + out_len].add(seg)
     return out[..., :out_len]
