@@ -245,3 +245,29 @@ class TestTarGzModel:
             os.environ.pop("XDG_CACHE_HOME", None)
         assert suffix == "e3"
         assert df_state2.sr == df_state.sr
+
+
+class TestHdf5Tool:
+    def test_list_sample_split_trim(self, tmp_path, capsys):
+        from deepfilternet_tpu.scripts.hdf5_tool import main as tool
+
+        src = "/root/reference/assets/noise_flac.hdf5"
+        tool(["list", src])
+        assert "codec=flac" in capsys.readouterr().out
+
+        wav = str(tmp_path / "s.wav")
+        tool(["sample", src, wav, "--key", "assets_noise_freesound_573577.wav"])
+        assert os.path.getsize(wav) > 100000
+
+        outdir = str(tmp_path)
+        tool(["split", src, outdir, "--ratios", "0.5,0.5,0.0"])
+        import h5py
+
+        tr = h5py.File(str(tmp_path / "noise_flac_train.hdf5"))
+        va = h5py.File(str(tmp_path / "noise_flac_valid.hdf5"))
+        assert len(tr["noise"]) + len(va["noise"]) == 2
+
+        out = str(tmp_path / "trim.hdf5")
+        tool(["trim", src, out, "--max-len-s", "10"])
+        f = h5py.File(out)
+        assert len(f["noise"]) == 1  # only the 4.9s clip survives
