@@ -439,6 +439,8 @@ class FdDataset:
         return (np.fft.rfft(frames, axis=-1) * self.wnorm).astype(np.complex64)
 
     def get_sample(self, idx: int, seed: Optional[int] = None) -> Dict:
+        from scipy.signal import lfilter
+
         s = self.td.get_sample(idx, seed)
         spec_clean = self._stft(s["speech"])
         spec_noisy = self._stft(s["noisy"])
@@ -450,21 +452,27 @@ class FdDataset:
             cbin = int(s["max_freq"] / (self.td.sr / self.fft_size))
             spec_noisy = ext_bandwidth_spectral(spec_noisy, cbin, self.td.sr,
                                                 n_bins_overlap=4)
-        # exponential norms, sequential over frames (numerics oracle path)
+        # exponential norms as first-order IIR filters over time
+        # (scipy.lfilter with zi = alpha * s_init reproduces the sequential
+        # recurrence s_t = (1-a) x_t + a s_{t-1} exactly)
         power = np.abs(spec_noisy) ** 2
         erb_db = 10.0 * np.log10(power @ self.erb_fb + 1e-10)
         a = self.alpha
-        state = np.tile(mean_norm_init(self.nb_erb), (erb_db.shape[0], 1))
-        feat_erb = np.empty_like(erb_db, dtype=np.float32)
-        for t in range(erb_db.shape[1]):
-            state = erb_db[:, t] * (1 - a) + state * a
-            feat_erb[:, t] = (erb_db[:, t] - state) / 40.0
+
+        def ema(x, s_init):
+            # x: [C, T, F]; returns the state track s_t, same shape
+            zi = (a * s_init)[:, None, :]  # lfilter state per (C, F)
+            y, _ = lfilter([1.0 - a], [1.0, -a], x, axis=1,
+                           zi=np.broadcast_to(zi, (x.shape[0], 1, x.shape[2])).copy())
+            return y
+
+        m_init = np.tile(mean_norm_init(self.nb_erb), (erb_db.shape[0], 1))
+        s_track = ema(erb_db, m_init)
+        feat_erb = ((erb_db - s_track) / 40.0).astype(np.float32)
         lo = spec_noisy[..., : self.nb_df]
-        ustate = np.tile(unit_norm_init(self.nb_df), (lo.shape[0], 1))
-        feat_spec = np.empty_like(lo)
-        for t in range(lo.shape[1]):
-            ustate = np.abs(lo[:, t]) * (1 - a) + ustate * a
-            feat_spec[:, t] = lo[:, t] / np.sqrt(ustate)
+        u_init = np.tile(unit_norm_init(self.nb_df), (lo.shape[0], 1))
+        u_track = ema(np.abs(lo), u_init)
+        feat_spec = lo / np.sqrt(u_track)
         s.update(
             spec_clean=spec_clean,
             spec_noisy=spec_noisy,

@@ -21,6 +21,52 @@ import numpy as np
 from deepfilternet_tpu.data import _native
 
 
+class _DecodeCache:
+    """Bounded LRU cache of decoded clips, shared across datasets.
+
+    The reference decodes vorbis incrementally via granule seeking
+    (dataset.rs:1487-1972); here whole-clip decodes are cached instead —
+    noise clips are redrawn constantly, so caching removes the decode from
+    the per-sample hot path entirely (measured 2.5 s of a 3.4 s profile).
+    """
+
+    def __init__(self, max_bytes: int = 512 << 20):
+        from collections import OrderedDict
+
+        self._od = OrderedDict()
+        self._bytes = 0
+        self._max = max_bytes
+        self._lock = None  # created lazily (threads share the cache)
+
+    def get(self, key):
+        import threading
+
+        if self._lock is None:
+            self._lock = threading.Lock()
+        with self._lock:
+            if key in self._od:
+                self._od.move_to_end(key)
+                return self._od[key]
+        return None
+
+    def put(self, key, value: np.ndarray):
+        import threading
+
+        if self._lock is None:
+            self._lock = threading.Lock()
+        with self._lock:
+            if key in self._od:
+                return
+            self._od[key] = value
+            self._bytes += value.nbytes
+            while self._bytes > self._max and len(self._od) > 1:
+                _, old = self._od.popitem(last=False)
+                self._bytes -= old.nbytes
+
+
+_DECODE_CACHE = _DecodeCache()
+
+
 class Hdf5Dataset:
     def __init__(self, path: str, sr: Optional[int] = None,
                  max_freq: Optional[int] = None):
@@ -63,14 +109,18 @@ class Hdf5Dataset:
                 raw = ds[...]
             audio = self._to_float(np.atleast_2d(raw))
         else:
-            data = bytes(np.asarray(ds[...], np.uint8).tobytes())
-            hint = self.sample_len(group, key)
-            if self.codec == "vorbis":
-                audio, _ = _native.decode_vorbis(data, hint)
-            elif self.codec == "flac":
-                audio, _ = _native.decode_flac(data, hint)
-            else:
-                raise ValueError(f"Unknown codec {self.codec}")
+            cache_key = (self.path, group, key)
+            audio = _DECODE_CACHE.get(cache_key)
+            if audio is None:
+                data = bytes(np.asarray(ds[...], np.uint8).tobytes())
+                hint = self.sample_len(group, key)
+                if self.codec == "vorbis":
+                    audio, _ = _native.decode_vorbis(data, hint)
+                elif self.codec == "flac":
+                    audio, _ = _native.decode_flac(data, hint)
+                else:
+                    raise ValueError(f"Unknown codec {self.codec}")
+                _DECODE_CACHE.put(cache_key, audio)
             if max_len is not None and audio.shape[-1] > max_len:
                 start = int(rng.integers(0, audio.shape[-1] - max_len)) if rng is not None else 0
                 audio = audio[..., start : start + max_len]
