@@ -236,6 +236,12 @@ def enhance(
 # ---------------------------------------------------------------------------
 
 
+DEFAULT_MODEL_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "pretrained", "dfn3_fixture_demo",
+)
+
+
 def main(args=None):
     parser = argparse.ArgumentParser(
         prog="deepFilter", description="Enhance noisy audio with DeepFilterNet-TPU"
@@ -253,8 +259,13 @@ def main(args=None):
     parser.add_argument("--epoch", "-e", default="best")
     args = parser.parse_args(args)
 
+    model_dir = args.model_base_dir
+    if model_dir is None and os.path.isdir(DEFAULT_MODEL_DIR):
+        # the bundled default model (reference: baked-in DFN3 weights,
+        # tract.rs:22-92 / maybe_download_model)
+        model_dir = DEFAULT_MODEL_DIR
     model, df_state, suffix = init_df(
-        args.model_base_dir, post_filter=args.pf, epoch=args.epoch
+        model_dir, post_filter=args.pf, epoch=args.epoch
     )
     os.makedirs(args.output_dir, exist_ok=True)
     for path in args.noisy_audio_files:

@@ -158,3 +158,19 @@ class TestPretrainedDemo:
         golden = json.load(open(os.path.join(self.DEMO, "golden_metrics.json")))
         assert golden["stoi"] > 0.97
         assert golden["sisdr"] > 15.0
+
+
+class TestCli:
+    def test_cli_end_to_end(self, tmp_path):
+        """deepFilter CLI on the bundled asset with the default demo model."""
+        from deepfilternet_tpu.enhance import main as cli
+
+        out = str(tmp_path)
+        cli([ASSET, "-o", out])
+        outfile = os.path.join(out, "noisy_snr0_DeepFilterNet_TPU.wav")
+        assert os.path.isfile(outfile)
+        enh, sr = load_audio(outfile)
+        noisy, _ = load_audio(ASSET)
+        assert enh.shape == noisy.shape
+        # default model actually denoises (energy reduced in noise-only tail)
+        assert np.abs(enh).mean() < np.abs(noisy).mean()
