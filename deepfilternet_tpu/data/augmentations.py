@@ -10,7 +10,7 @@ explicitly (the analog of the reference's thread-local Xoshiro RNG).
 from __future__ import annotations
 
 import math
-from typing import Callable, List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 

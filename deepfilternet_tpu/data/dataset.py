@@ -25,7 +25,7 @@ from deepfilternet_tpu.data import augmentations as aug
 from deepfilternet_tpu.data.hdf5 import Hdf5Dataset, store_key_cache
 from deepfilternet_tpu.ops.erb import erb_fb_matrices, erb_widths
 from deepfilternet_tpu.ops.norms import get_norm_alpha, mean_norm_init, unit_norm_init
-from deepfilternet_tpu.ops.stft import Stft, vorbis_window, wnorm
+from deepfilternet_tpu.ops.stft import vorbis_window, wnorm
 
 
 def _get_env(name: str, default: float) -> float:

@@ -10,8 +10,6 @@ correlation.
 
 from __future__ import annotations
 
-import math
-
 import numpy as np
 
 FS = 10000

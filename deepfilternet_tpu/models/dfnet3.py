@@ -25,7 +25,6 @@ transfer complex arrays across the host boundary).
 
 from __future__ import annotations
 
-import math
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
@@ -50,7 +49,6 @@ from deepfilternet_tpu.nn import (
 )
 from deepfilternet_tpu.ops import erb_fb_matrices, erb_widths
 from deepfilternet_tpu.ops.df_op import deep_filter, deep_filter_offline
-from deepfilternet_tpu.ops.postfilter import post_filter_mask
 
 PI = 3.1415926535897932384626433
 

@@ -9,13 +9,11 @@ solves are batched N x N complex linear systems (N = df_order, typically
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from deepfilternet_tpu.ops.df_op import deep_filter_offline, spec_unfold
+from deepfilternet_tpu.ops.df_op import spec_unfold
 
 
 def psd(x: jnp.ndarray, n: int) -> jnp.ndarray:

@@ -25,8 +25,7 @@ semantics).
 from __future__ import annotations
 
 import math
-from functools import partial
-from typing import Any, Callable, Dict, Optional, Sequence, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,7 @@ the parallel scan in `norms.py`.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax.numpy as jnp
 import numpy as np

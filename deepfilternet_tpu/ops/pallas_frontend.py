@@ -23,8 +23,6 @@ outputs to satisfy TPU tiling; callers slice.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -33,7 +31,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from deepfilternet_tpu.ops.erb import erb_fb_matrices, erb_widths
-from deepfilternet_tpu.ops.stft import Stft, dft_matrices
+from deepfilternet_tpu.ops.stft import dft_matrices
 
 
 def _kernel(

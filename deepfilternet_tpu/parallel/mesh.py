@@ -17,7 +17,7 @@ DCN with batch sharded across hosts.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Sequence
+from typing import Any, Dict, Optional
 
 import jax
 import numpy as np

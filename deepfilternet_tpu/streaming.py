@@ -17,8 +17,7 @@ API:
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Dict, NamedTuple, Optional, Tuple
+from typing import Any, Dict, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -31,7 +30,6 @@ from deepfilternet_tpu.ops.norms import (
     erb_norm_step,
     mean_norm_init,
     unit_norm_init,
-    unit_norm_step,
 )
 from deepfilternet_tpu.ops.stft import (
     Stft,

@@ -13,8 +13,7 @@ it without the weights raises at construction.
 from __future__ import annotations
 
 import math
-from functools import partial
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

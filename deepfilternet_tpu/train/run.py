@@ -16,7 +16,6 @@ from __future__ import annotations
 import argparse
 import os
 import signal
-import sys
 import time
 from typing import Dict, Optional
 
@@ -40,7 +39,6 @@ from deepfilternet_tpu.train.loss import Loss
 from deepfilternet_tpu.train.lr import cosine_scheduler
 from deepfilternet_tpu.train.trainer import (
     MAX_NANS,
-    TrainState,
     init_train_state,
     load_opt_config,
     make_optimizer,

@@ -12,7 +12,6 @@ host checks against MAX_NANS.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
 
 import jax
