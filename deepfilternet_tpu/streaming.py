@@ -66,13 +66,22 @@ class RuntimeParams(NamedTuple):
 
 class StreamingRuntime:
     def __init__(self, model, df_state, params: RuntimeParams = RuntimeParams(),
-                 dtype=jnp.float32, use_pallas: bool = False):
+                 dtype=jnp.float32, use_pallas: bool = False, fused: bool = False):
         self.model = model
         self.df_state = df_state
         self.cfg = model.cfg
         self.rt = params
         self.dtype = dtype
         self.use_pallas = use_pallas
+        if fused:
+            # DFN3-only: conv stack folded into dense MXU matmuls
+            from deepfilternet_tpu.models.dfnet3_fused import FusedDfNet3
+
+            import copy
+
+            fused_module = FusedDfNet3(model.params, model.state, model.cfg)
+            self.model = copy.copy(model)
+            self.model.module = fused_module
         if dtype != jnp.float32:
             # cast model weights once; features are cast per frame. The
             # spectrum/DF/mask application stays f32 for output fidelity.

@@ -81,3 +81,16 @@ class TestPallasFrontend:
         np.testing.assert_allclose(
             np.asarray(out_pal), np.asarray(out_ref), atol=1e-4
         )
+
+
+class TestFusedCell:
+    def test_fused_runtime_matches_reference(self, setup, rng):
+        model, df_state, rt = setup
+        from deepfilternet_tpu.streaming import StreamingRuntime
+
+        rt_f = StreamingRuntime(model, df_state, fused=True)
+        audio = jnp.asarray(rng.standard_normal((2, 480 * 5)).astype(np.float32) * 0.1)
+        _, out_ref = rt.process(rt.init(2), audio)
+        _, out_fused = rt_f.process(rt_f.init(2), audio)
+        np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_ref),
+                                   atol=1e-4)
