@@ -104,9 +104,13 @@ class DataLoader:
 
     def iter_epoch(self, split: str, seed: int) -> Iterator[Batch]:
         """Deterministic epoch iteration (dataloader.rs:297-458)."""
+        epoch_seed = 0 if self.overfit else seed
+        # per-epoch fractional sampling regeneration (dataset.rs:1397-1451)
+        td = getattr(self.dataset, "td", self.dataset)
+        if split == "train" and getattr(td, "_has_fractional", False):
+            td.set_epoch(epoch_seed)
         n = len(self.dataset)
         bs = self.batch_size if split == "train" else self.batch_size_eval
-        epoch_seed = 0 if self.overfit else seed
         order_rng = np.random.default_rng(epoch_seed)
         indices = np.arange(n)
         if split == "train":

@@ -119,22 +119,12 @@ class TdDataset:
                         self.ns_keys.append((cfg.filename, k))
                     elif g == "rir":
                         self.rir_keys.append((cfg.filename, k))
-        # fractional/integer sampling factors (dataset.rs:1397-1451): repeat
-        # speech keys according to their factor
-        expanded: List[Tuple[str, str]] = []
-        for fname, key, factor in self.sp_keys:
-            n = int(factor)
-            frac = factor - n
-            expanded.extend([(fname, key)] * n)
-            if frac > 0:
-                # deterministic inclusion based on global seed + key hash
-                h = (hash((fname, key, seed)) % 1000) / 1000.0
-                if h < frac:
-                    expanded.append((fname, key))
-        self.sp_index = expanded
-        if global_sampling_factor != 1.0:
-            keep = max(int(len(self.sp_index) * global_sampling_factor), 1)
-            self.sp_index = self.sp_index[:keep]
+        # fractional/integer sampling factors (dataset.rs:1397-1451): keys
+        # repeat by the integer part; fractional inclusion is regenerated
+        # per epoch via set_epoch (reference: shuffle + cycle + take(n))
+        self.global_sampling_factor = global_sampling_factor
+        self._has_fractional = any(f != int(f) for _, _, f in self.sp_keys)
+        self.set_epoch(0)
 
         train = split == "train"
         self.sp_augmentations = aug.Compose([
@@ -178,6 +168,22 @@ class TdDataset:
             aug.BandwidthLimiterAugmentation(p_bandwidth_ext, sr)
             if p_bandwidth_ext > 0 else None
         )
+
+    def set_epoch(self, epoch_seed: int):
+        """Regenerate fractional sampling inclusion for an epoch
+        (dataset.rs:1397-1451)."""
+        rng = np.random.default_rng(np.uint64(self.seed * 7919 + epoch_seed))
+        expanded: List[Tuple[str, str]] = []
+        for fname, key, factor in self.sp_keys:
+            n = int(factor)
+            frac = factor - n
+            expanded.extend([(fname, key)] * n)
+            if frac > 0 and rng.uniform(0, 1) < frac:
+                expanded.append((fname, key))
+        self.sp_index = expanded
+        if self.global_sampling_factor != 1.0:
+            keep = max(int(len(self.sp_index) * self.global_sampling_factor), 1)
+            self.sp_index = self.sp_index[:keep]
 
     def __len__(self) -> int:
         return len(self.sp_index)

@@ -138,6 +138,12 @@ def train(
     patience = config("EARLY_STOPPING_PATIENCE", 5, int, section="train")
     overfit = config("OVERFIT", False, bool, section="train")
     p_reverb = config("p_reverb", 0.0, float, section="distortion")
+    from deepfilternet_tpu.config import Csv
+
+    bs_sched_raw = config("BATCH_SIZE_SCHEDULING", (), Csv(str), section="train")
+    bs_sched = [tuple(int(v) for v in item.split("/")) for item in bs_sched_raw if item]
+    if bs_sched:
+        assert bs_sched[0][0] == 0, "first scheduling epoch must be 0"
 
     try:
         signal.signal(signal.SIGUSR1, _sigusr1)
@@ -214,7 +220,28 @@ def train(
         return float(np.mean(losses)) if losses else float("inf")
 
     global should_stop
+    prev_sched_bs = None
     for epoch in range(start_epoch, epochs):
+        if bs_sched:
+            # batch-size scheduling (train.py:234-246): largest entry whose
+            # epoch <= current, capped by the configured batch size
+            sched_bs = batch_size
+            for e_from, b in bs_sched:
+                if e_from <= epoch:
+                    sched_bs = min(b, batch_size)
+            if sched_bs != prev_sched_bs:
+                print(f"Batch scheduling | batch size {sched_bs}")
+                loaders["train"].set_batch_size(sched_bs, "train")
+                niter = loaders["train"].len_of("train")
+                lr_sched = cosine_scheduler(
+                    opt_cfg["lr"], opt_cfg["lr_min"], epochs, niter,
+                    warmup_epochs=opt_cfg["warmup_epochs"],
+                    start_warmup_value=opt_cfg["lr_warmup"],
+                    initial_ep_per_cycle=opt_cfg["lr_cycle_epochs"],
+                    cycle_decay=opt_cfg["lr_cycle_decay"],
+                    cycle_mul=opt_cfg["lr_cycle_mul"],
+                )
+                prev_sched_bs = sched_bs
         t0 = time.time()
         n_steps = 0
         loss_sum = 0.0

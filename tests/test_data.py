@@ -210,3 +210,18 @@ class TestDataLoader:
         assert len(cfg.train) == 2
         assert cfg.train[0].filename == "clean.hdf5"
         assert cfg.train[0].sampling_factor == 100
+
+
+class TestFractionalSampling:
+    def test_per_epoch_regeneration(self):
+        cfgs = [Hdf5Cfg("clean.hdf5", 4.5), Hdf5Cfg("noise_flac.hdf5", 1)]
+        td = TdDataset(ASSETS, cfgs, "train", max_len_s=0.5, seed=7)
+        lens = set()
+        for epoch in range(20):
+            td.set_epoch(epoch)
+            lens.add(len(td))
+        # 4.5 factor: sometimes 4, sometimes 5 per epoch
+        assert lens == {4, 5}
+        # deterministic per epoch seed
+        td.set_epoch(3); a = len(td)
+        td.set_epoch(3); assert len(td) == a
