@@ -139,7 +139,8 @@ class TestPretrainedDemo:
     0.9741/0.9744 at >+10 dB SI-SDR over noisy)."""
 
     DEMOS = ["/root/repo/pretrained/dfn3_fixture_demo",
-             "/root/repo/pretrained/dfn2_fixture_demo"]
+             "/root/repo/pretrained/dfn2_fixture_demo",
+             "/root/repo/pretrained/dfn1_fixture_demo"]
 
     @pytest.mark.parametrize("demo", DEMOS)
     def test_golden_metrics_reproduce(self, demo):
