@@ -59,3 +59,50 @@ class TestStreamServer:
         # affected by c1's state
         assert not np.allclose(o1a, o1b)
         assert o2.shape == o1a.shape
+
+
+class TestCClient:
+    def test_c_client_round_trip(self, server, rng, tmp_path):
+        """Compile the native C client and stream frames through the server,
+        checking parity with the Python client."""
+        import subprocess
+
+        _, _, port = server
+        exe = str(tmp_path / "df_c_test")
+        test_c = str(tmp_path / "main.c")
+        with open(test_c, "w") as f:
+            f.write(r'''
+#include "df_client.h"
+#include <stdio.h>
+#include <stdlib.h>
+int main(int argc, char **argv) {
+    int port = atoi(argv[1]);
+    DfClient *df = df_create("127.0.0.1", port);
+    if (!df) { fprintf(stderr, "connect failed\n"); return 2; }
+    size_t n = df_get_frame_length(df) * 2;
+    float *in = calloc(n, 4), *out = calloc(n, 4);
+    FILE *fi = fopen(argv[2], "rb");
+    fread(in, 4, n, fi); fclose(fi);
+    if (df_process_frame(df, in, out, n) != 0) return 3;
+    FILE *fo = fopen(argv[3], "wb");
+    fwrite(out, 4, n, fo); fclose(fo);
+    df_free(df);
+    return 0;
+}
+''')
+        subprocess.run(
+            ["gcc", "-O2", "-I", "/root/repo/native", test_c,
+             "/root/repo/native/df_client.c", "-o", exe],
+            check=True, capture_output=True,
+        )
+        audio = (rng.standard_normal(960).astype(np.float32) * 0.1)
+        fin = str(tmp_path / "in.f32")
+        fout = str(tmp_path / "out.f32")
+        audio.tofile(fin)
+        subprocess.run([exe, str(port), fin, fout], check=True, timeout=120)
+        got = np.fromfile(fout, np.float32)
+
+        py = StreamClient(port=port)
+        expected = py.process_frame(audio)
+        py.close()
+        np.testing.assert_allclose(got, expected, atol=1e-6)
