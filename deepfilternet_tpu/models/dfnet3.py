@@ -504,3 +504,121 @@ def streaming_cell(
     )
     spec_e_ri = jnp.stack([jnp.real(spec_e), jnp.imag(spec_e)], axis=-1)
     return new_carry, (spec_e_ri, lsnr, m)
+
+
+# ---------------------------------------------------------------------------
+# chunked streaming forward: offline batching with explicit carried state
+# ---------------------------------------------------------------------------
+
+
+def forward_chunk(
+    params: Dict,
+    state: Dict,
+    cfg: Dict,
+    carry: StreamState,
+    spec: jnp.ndarray,
+    feat_erb: jnp.ndarray,
+    feat_spec: jnp.ndarray,
+) -> Tuple[StreamState, Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]]:
+    """Process a chunk of T frames with streaming semantics but offline
+    batching: conv/linear/DF work is frame-parallel (big MXU matmuls);
+    only the GRU recurrences scan over frames. Bit-matches running the
+    per-frame streaming_cell T times (the state-passing offline form that
+    makes the XLA while-loop body minimal).
+
+    spec [B,T,F,2], feat_erb [B,T,E], feat_spec [B,T,F',2] ->
+    (carry', (spec_e [B,T,F,2], lsnr [B,T,1], mask [B,T,E])).
+    """
+    L = cfg["layers"]
+    nb_df = cfg["nb_df"]
+    ctx = cfg["conv_kernel_inp"][0] - 1
+    b, t = feat_erb.shape[:2]
+
+    # prepend carried context frames; conv outputs for the context rows are
+    # discarded below
+    fe_ctx = carry.erb_buf[:, 0]  # [B, ctx, E]
+    fs_ctx = jnp.moveaxis(carry.spec_buf, 1, -1)  # [B, ctx, F', 2]
+    fe = jnp.concatenate([fe_ctx, feat_erb], axis=1)
+    fs = jnp.concatenate([fs_ctx, feat_spec], axis=1)
+
+    def conv(name, x):
+        fn = (
+            conv_transpose2d_norm_act_apply
+            if L[name].get("transposed")
+            else conv2d_norm_act_apply
+        )
+        out, _ = fn(params[name], state.get(name, {}), L[name], x, False)
+        return out
+
+    e0x = conv("erb_conv0", fe[:, None])           # [B,C,ctx+T,E]
+    e0 = e0x[:, :, ctx:]
+    e1 = conv("erb_conv1", e0)
+    e2 = conv("erb_conv2", e1)
+    e3 = conv("erb_conv3", e2)
+    c0x = conv("df_conv0", jnp.moveaxis(fs, -1, 1))
+    c0 = c0x[:, :, ctx:]
+    c1 = conv("df_conv1", c0)
+
+    cemb = jnp.transpose(c1, (0, 2, 3, 1)).reshape(b, t, -1)
+    cemb = jax.nn.relu(grouped_linear_apply(params["df_fc_emb"], cemb))
+    emb = jnp.transpose(e3, (0, 2, 3, 1)).reshape(b, t, -1)
+    emb = jnp.concatenate([emb, cemb], -1) if cfg["enc_concat"] else emb + cemb
+    emb, enc_h = squeezed_gru_s_apply(
+        params["enc_emb_gru"], L["enc_emb_gru"], emb, carry.enc_gru_h
+    )
+    lsnr = jax.nn.sigmoid(linear_apply(params["lsnr_fc"], emb))
+    lsnr = lsnr * (cfg["lsnr_max"] - cfg["lsnr_min"]) + cfg["lsnr_min"]
+
+    demb, dec_h = squeezed_gru_s_apply(
+        params["dec_emb_gru"], L["dec_emb_gru"], emb, carry.dec_gru_h
+    )
+    f8 = e3.shape[-1]
+    demb = jnp.transpose(demb.reshape(b, t, f8, -1), (0, 3, 1, 2))
+    d3 = conv("convt3", conv("conv3p", e3) + demb)
+    d2 = conv("convt2", conv("conv2p", e2) + d3)
+    d1 = conv("convt1", conv("conv1p", e1) + d2)
+    m = conv("conv0_out", conv("conv0p", e0) + d1)[:, 0]  # [B,T,E]
+
+    c, df_h = squeezed_gru_s_apply(params["df_gru"], L["df_gru"], emb, carry.df_gru_h)
+    if cfg["df_gru_skip"] == "identity":
+        c = c + emb
+    elif cfg["df_gru_skip"] == "groupedlinear":
+        c = c + grouped_linear_apply(params["df_skip"], emb)
+    c0p = conv("df_convp", c0)
+    c0p = jnp.transpose(c0p, (0, 2, 3, 1))  # [B,T,F',O*2]
+    coefs = jnp.tanh(grouped_linear_apply(params["df_out"], c))
+    coefs = coefs.reshape(b, t, nb_df, cfg["df_order"] * 2) + c0p
+    coefs_ri = coefs.reshape(b, t, nb_df, cfg["df_order"], 2)
+    coefs_c = jnp.transpose(coefs_ri[..., 0] + 1j * coefs_ri[..., 1], (0, 3, 1, 2))
+
+    spec_c = spec[..., 0] + 1j * spec[..., 1]
+    # DF with carried ring history: prepend O-1 past low-band frames
+    ring = carry.df_ring_re + 1j * carry.df_ring_im  # [B, O-1, F']
+    lo_ext = jnp.concatenate([ring, spec_c[..., :nb_df]], axis=1)  # [B, O-1+T, F']
+    order = cfg["df_order"]
+    taps = [lo_ext[:, n : n + t] for n in range(order)]  # tap n = frame t-(O-1)+n
+    un = jnp.stack(taps, axis=-1)  # [B, T, F', O]
+    y_lo = jnp.sum(un * jnp.moveaxis(coefs_c, 1, -1), axis=-1)
+
+    bin_gains = m @ jnp.asarray(cfg["erb_inv_fb"])
+    spec_m = spec_c * bin_gains
+    spec_e = jnp.concatenate([y_lo, spec_m[..., nb_df:]], axis=-1)
+    if cfg["mask_pf"]:
+        beta = cfg["pf_beta"]
+        eps = 1e-12
+        g = jnp.clip(jnp.abs(spec_e) / (jnp.abs(spec_c) + eps), eps, 1.0)
+        g_sin = jnp.maximum(g * jnp.sin(PI * g / 2.0), eps)
+        spec_e = spec_e * ((1.0 + beta) / (1.0 + beta * (g / g_sin) ** 2))
+
+    new_carry = StreamState(
+        erb_buf=fe[:, -ctx:][:, None] if ctx > 0 else carry.erb_buf,
+        spec_buf=jnp.moveaxis(fs[:, -ctx:], -1, 1) if ctx > 0 else carry.spec_buf,
+        c0_buf=carry.c0_buf,
+        enc_gru_h=enc_h,
+        dec_gru_h=dec_h,
+        df_gru_h=df_h,
+        df_ring_re=jnp.real(lo_ext[:, -(order - 1) :]) if order > 1 else carry.df_ring_re,
+        df_ring_im=jnp.imag(lo_ext[:, -(order - 1) :]) if order > 1 else carry.df_ring_im,
+    )
+    spec_e_ri = jnp.stack([jnp.real(spec_e), jnp.imag(spec_e)], axis=-1)
+    return new_carry, (spec_e_ri, lsnr, m)

@@ -184,43 +184,13 @@ class StreamingRuntime:
             spec_e_ri = spec_e_ri.astype(jnp.float32)
             lsnr = lsnr.astype(jnp.float32)
             mask = mask.astype(jnp.float32)
-        rt = self.rt
-
-        # multichannel mask reduction (tract.rs:117-193 NONE/MAX/MEAN):
-        # streams are (stream, channel) groups; reduce over the channel axis
-        # and re-apply the shared mask to every channel's spectrum.
-        if rt.reduce_mask != "none" and rt.n_channels > 1:
-            c = rt.n_channels
-            mg = mask.reshape(-1, c, mask.shape[-1])
-            mg = jnp.max(mg, axis=1) if rt.reduce_mask == "max" else jnp.mean(mg, axis=1)
-            mask = jnp.repeat(mg, c, axis=0)
-            bin_gains = mask @ jnp.asarray(cfg["erb_inv_fb"])
-            spec_shared = (spec * bin_gains).astype(jnp.complex64)
-            spec_e_ri = jnp.stack([jnp.real(spec_shared), jnp.imag(spec_shared)], -1)
-
-        spec_e = spec_e_ri[..., 0] + 1j * spec_e_ri[..., 1]
-
-        # LSNR-gated stage selection (tract.rs:658-672): batched inference
-        # computes all stages and selects per stream.
-        if rt.lsnr_gating:
-            ls = lsnr[..., 0]  # [S]
-            bin_gains = mask @ jnp.asarray(cfg["erb_inv_fb"])
-            spec_m = spec * bin_gains
-            zero = jnp.zeros_like(spec)
-            spec_e = jnp.where((ls < rt.lsnr_min)[:, None], zero, spec_e)
-            spec_e = jnp.where(
-                ((ls > rt.lsnr_max_df) & (ls <= rt.lsnr_max_erb))[:, None],
-                spec_m, spec_e,
-            )
-            spec_e = jnp.where((ls > rt.lsnr_max_erb)[:, None], spec, spec_e)
-
-        # attenuation-limit mixback (tract.rs:626-629)
-        if rt.atten_lim_db and abs(rt.atten_lim_db) > 0:
-            lim = 10.0 ** (-abs(rt.atten_lim_db) / 20.0)
-            spec_e = spec * lim + spec_e * (1.0 - lim)
+        spec_e = self._apply_runtime_stages(
+            spec, spec_e_ri[..., 0] + 1j * spec_e_ri[..., 1], lsnr, mask
+        )
 
         # RMS silence skip (tract.rs:512-525): after `silence_skip_frames`
         # consecutive quiet frames, output zeros
+        rt = self.rt
         frame_rms = jnp.sqrt(jnp.mean(frame**2, axis=-1))
         quiet = frame_rms < rt.silence_rms_thresh
         ctr = jnp.where(quiet, carry.silence_ctr + 1, 0)
@@ -231,6 +201,45 @@ class StreamingRuntime:
             carry.synthesis_mem, jnp.real(spec_e), jnp.imag(spec_e), self.stft_cfg
         )
         return StreamCarry(amem, smem, mn, un, ctr, mstate), out
+
+    def _apply_runtime_stages(self, spec, spec_e, lsnr, mask):
+        """Post-model RuntimeParams stages, frame-shape agnostic.
+
+        spec/spec_e complex [..., F], lsnr [..., 1], mask [..., E]; leading
+        dims are [S] (per-frame cell) or [S, T] (chunked runtime).
+        """
+        rt, cfg = self.rt, self.cfg
+
+        # multichannel mask reduction (tract.rs:117-193 NONE/MAX/MEAN):
+        # streams are (stream, channel) groups; reduce over the channel axis
+        # and re-apply the shared mask to every channel's spectrum.
+        if rt.reduce_mask != "none" and rt.n_channels > 1:
+            c = rt.n_channels
+            mg = mask.reshape(-1, c, *mask.shape[1:])
+            mg = jnp.max(mg, axis=1) if rt.reduce_mask == "max" else jnp.mean(mg, axis=1)
+            mask = jnp.repeat(mg, c, axis=0)
+            bin_gains = mask @ jnp.asarray(cfg["erb_inv_fb"])
+            spec_e = (spec * bin_gains).astype(jnp.complex64)
+
+        # LSNR-gated stage selection (tract.rs:658-672): batched inference
+        # computes all stages and selects per stream/frame.
+        if rt.lsnr_gating:
+            ls = lsnr[..., 0]
+            bin_gains = mask @ jnp.asarray(cfg["erb_inv_fb"])
+            spec_m = spec * bin_gains
+            zero = jnp.zeros_like(spec)
+            spec_e = jnp.where((ls < rt.lsnr_min)[..., None], zero, spec_e)
+            spec_e = jnp.where(
+                ((ls > rt.lsnr_max_df) & (ls <= rt.lsnr_max_erb))[..., None],
+                spec_m, spec_e,
+            )
+            spec_e = jnp.where((ls > rt.lsnr_max_erb)[..., None], spec, spec_e)
+
+        # attenuation-limit mixback (tract.rs:626-629)
+        if rt.atten_lim_db and abs(rt.atten_lim_db) > 0:
+            lim = 10.0 ** (-abs(rt.atten_lim_db) / 20.0)
+            spec_e = spec * lim + spec_e * (1.0 - lim)
+        return spec_e
 
     # -- public API ----------------------------------------------------------
 
@@ -261,3 +270,122 @@ class StreamingRuntime:
         t = audio.shape[-1]
         assert t % hop == 0, "process() needs whole hops"
         return self._get_process(t // hop)(carry, audio)
+
+
+# ---------------------------------------------------------------------------
+# chunked runtime: frame-parallel pipeline with explicit carried state
+# ---------------------------------------------------------------------------
+
+
+class ChunkedStreamingRuntime(StreamingRuntime):
+    """Streaming with offline-style batching per chunk.
+
+    The per-frame while-loop disappears: analysis/features/convs/DF/
+    synthesis batch over all frames of the chunk (MXU matmuls +
+    associative norm scans), and only the GRU recurrences remain
+    sequential (inside `forward_chunk`). Same streaming semantics and
+    carry as StreamingRuntime — chunk boundaries are state-continuous —
+    with several-fold higher throughput and much faster compiles.
+
+    Requires a model module exposing `forward_chunk` (DFN3).
+    """
+
+    def _get_process(self, n_frames: int):
+        if n_frames not in self._process_jit:
+            hop = self.stft_cfg.hop_size
+            fft = self.stft_cfg.fft_size
+            d = fft - hop
+            module = self.model.module
+            params, mstate, cfg = self.model.params, self.model.state, self.cfg
+            from deepfilternet_tpu.ops.norms import _ema_scan
+            from deepfilternet_tpu.ops.stft import dft_matrices, idft_matrices
+
+            cos_m, sin_m = dft_matrices(fft, hop)
+            re_m, im_m = idft_matrices(fft)
+            alpha = self.alpha
+            nb_df = self.nb_df
+
+            @jax.jit
+            def run(carry: StreamCarry, audio):
+                s = audio.shape[0]
+                t = n_frames
+                # -- analysis: all frames at once
+                buf = jnp.concatenate([carry.analysis_mem, audio], axis=-1)
+                idx = (np.arange(t)[:, None] * hop + np.arange(fft)[None, :])
+                frames = buf[:, idx]                      # [S, T, fft]
+                re = frames @ jnp.asarray(cos_m)
+                im = frames @ jnp.asarray(sin_m)
+                new_amem = buf[:, -d:]
+                # -- features with associative-scan norms
+                power = re**2 + im**2
+                erb_db = 10.0 * jnp.log10(power @ self.erb_fwd + 1e-10)
+                mtrack = _ema_scan(erb_db, carry.mean_norm, alpha, axis=1)
+                feat_erb = (erb_db - mtrack) / 40.0
+                mag_lo = jnp.sqrt(power[..., :nb_df])
+                utrack = _ema_scan(mag_lo, carry.unit_norm, alpha, axis=1)
+                scale = jax.lax.rsqrt(utrack)
+                feat_spec = jnp.stack(
+                    [re[..., :nb_df] * scale, im[..., :nb_df] * scale], axis=-1
+                )
+                spec_ri = jnp.stack([re, im], axis=-1)
+                # -- model chunk
+                mcarry, (spec_e_ri, lsnr, mask) = module.forward_chunk(
+                    params, mstate, cfg, carry.model, spec_ri, feat_erb, feat_spec
+                )
+                # -- post-model RuntimeParams stages, frame-parallel
+                spec_e = self._apply_runtime_stages(
+                    re + 1j * im, spec_e_ri[..., 0] + 1j * spec_e_ri[..., 1],
+                    lsnr, mask,
+                )
+                # RMS silence skip: the running quiet-frame counter is
+                # ctr_t = t - (last loud frame index ≤ t), computed in
+                # parallel with a cummax over loud-frame indices seeded by
+                # the carried counter.
+                rt_p = self.rt
+                frame_rms = jnp.sqrt(
+                    jnp.mean(audio.reshape(s, t, hop) ** 2, axis=-1)
+                )
+                quiet = frame_rms < rt_p.silence_rms_thresh  # [S, T]
+                tidx = jnp.arange(t, dtype=jnp.int32)[None, :]
+                loud_idx = jnp.where(quiet, jnp.int32(-(2**30)), tidx)
+                # seed saturates at the skip threshold: only ctr >= threshold
+                # matters, and this keeps the seed above the quiet marker
+                ctr0 = jnp.minimum(
+                    carry.silence_ctr.astype(jnp.int32),
+                    jnp.int32(rt_p.silence_skip_frames),
+                )
+                seed = (-1 - ctr0)[:, None]
+                last_loud = jax.lax.cummax(
+                    jnp.concatenate([seed, loud_idx], axis=1), axis=1
+                )[:, 1:]
+                ctr = tidx - last_loud  # [S, T]
+                spec_e = jnp.where(
+                    (ctr >= rt_p.silence_skip_frames)[..., None],
+                    jnp.zeros_like(spec_e), spec_e,
+                )
+                spec_e_ri = jnp.stack([jnp.real(spec_e), jnp.imag(spec_e)], -1)
+                # -- synthesis: batched iDFT + overlap-add with carried tail
+                x = (spec_e_ri[..., 0] @ jnp.asarray(re_m)
+                     + spec_e_ri[..., 1] @ jnp.asarray(im_m))  # [S, T, fft]
+                r = fft // hop
+                chunks = x.reshape(s, t, r, hop)
+                out_len = t * hop
+                full = jnp.zeros((s, out_len + d), jnp.float32)
+                for k in range(r):
+                    seg = chunks[:, :, k, :].reshape(s, out_len)
+                    full = full.at[:, k * hop : k * hop + out_len].add(seg)
+                full = full.at[:, :d].add(carry.synthesis_mem)
+                out = full[:, :out_len]
+                new_smem = full[:, out_len:]
+                new_carry = StreamCarry(
+                    analysis_mem=new_amem,
+                    synthesis_mem=new_smem,
+                    mean_norm=mtrack[:, -1],
+                    unit_norm=utrack[:, -1],
+                    silence_ctr=ctr[:, -1],
+                    model=mcarry,
+                )
+                return new_carry, out
+
+            self._process_jit[n_frames] = run
+        return self._process_jit[n_frames]

@@ -94,3 +94,20 @@ class TestFusedCell:
         _, out_fused = rt_f.process(rt_f.init(2), audio)
         np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_ref),
                                    atol=1e-4)
+
+
+class TestChunkedRuntime:
+    def test_matches_per_frame_runtime(self, setup, rng):
+        model, df_state, rt = setup
+        from deepfilternet_tpu.streaming import ChunkedStreamingRuntime
+
+        crt = ChunkedStreamingRuntime(model, df_state)
+        audio = rng.standard_normal((2, 480 * 12)).astype(np.float32) * 0.1
+        _, ref = rt.process(rt.init(2), jnp.asarray(audio))
+        c = crt.init(2)
+        outs = []
+        for i in range(3):  # 3 chunks of 4 frames: state continuity
+            c, o = crt.process(c, jnp.asarray(audio[:, i * 1920 : (i + 1) * 1920]))
+            outs.append(np.asarray(o))
+        got = np.concatenate(outs, axis=1)
+        np.testing.assert_allclose(got, np.asarray(ref), atol=1e-4)
