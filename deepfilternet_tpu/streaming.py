@@ -280,112 +280,143 @@ class StreamingRuntime:
 class ChunkedStreamingRuntime(StreamingRuntime):
     """Streaming with offline-style batching per chunk.
 
-    The per-frame while-loop disappears: analysis/features/convs/DF/
-    synthesis batch over all frames of the chunk (MXU matmuls +
-    associative norm scans), and only the GRU recurrences remain
-    sequential (inside `forward_chunk`). Same streaming semantics and
-    carry as StreamingRuntime — chunk boundaries are state-continuous —
-    with several-fold higher throughput and much faster compiles.
+    Instead of a per-frame while-loop, audio is processed `chunk_frames`
+    frames at a time: analysis/features/convs/DF/synthesis batch over all
+    frames of the chunk (MXU matmuls + associative norm scans), and only
+    the GRU recurrences remain sequential (inside `forward_chunk`). Long
+    inputs scan over chunks, so activation memory stays bounded while the
+    XLA while-loop trip count drops by `chunk_frames`x. Same streaming
+    semantics and carry as StreamingRuntime — chunk/call boundaries are
+    state-continuous.
 
     Requires a model module exposing `forward_chunk` (DFN3).
     """
 
+    def __init__(self, *args, chunk_frames: int = 20, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.chunk_frames = chunk_frames
+
+    def _chunk_body(self, carry: StreamCarry, audio: jnp.ndarray, t: int
+                    ) -> Tuple[StreamCarry, jnp.ndarray]:
+        """One frame-parallel chunk: audio [S, t*hop] -> (carry', out)."""
+        hop = self.stft_cfg.hop_size
+        fft = self.stft_cfg.fft_size
+        d = fft - hop
+        module = self.model.module
+        params, mstate, cfg = self.model.params, self.model.state, self.cfg
+        from deepfilternet_tpu.ops.norms import _ema_scan
+        from deepfilternet_tpu.ops.stft import dft_matrices, idft_matrices
+
+        cos_m, sin_m = dft_matrices(fft, hop)
+        re_m, im_m = idft_matrices(fft)
+        alpha = self.alpha
+        nb_df = self.nb_df
+        s = audio.shape[0]
+
+        # -- analysis: all frames at once (strided frame view as reshape
+        # of hop-sized pieces, avoiding a giant gather)
+        buf = jnp.concatenate([carry.analysis_mem, audio], axis=-1)
+        r = fft // hop
+        hops = buf.reshape(s, t + r - 1, hop)
+        frames = jnp.concatenate(
+            [hops[:, k : k + t] for k in range(r)], axis=-1
+        )  # [S, T, fft]
+        re = frames @ jnp.asarray(cos_m)
+        im = frames @ jnp.asarray(sin_m)
+        new_amem = buf[:, -d:]
+        # -- features with associative-scan norms
+        power = re**2 + im**2
+        erb_db = 10.0 * jnp.log10(power @ self.erb_fwd + 1e-10)
+        mtrack = _ema_scan(erb_db, carry.mean_norm, alpha, axis=1)
+        feat_erb = (erb_db - mtrack) / 40.0
+        mag_lo = jnp.sqrt(power[..., :nb_df])
+        utrack = _ema_scan(mag_lo, carry.unit_norm, alpha, axis=1)
+        scale = jax.lax.rsqrt(utrack)
+        feat_spec = jnp.stack(
+            [re[..., :nb_df] * scale, im[..., :nb_df] * scale], axis=-1
+        )
+        spec_ri = jnp.stack([re, im], axis=-1)
+        # -- model chunk
+        mcarry, (spec_e_ri, lsnr, mask) = module.forward_chunk(
+            params, mstate, cfg, carry.model, spec_ri, feat_erb, feat_spec
+        )
+        # -- post-model RuntimeParams stages, frame-parallel
+        spec_e = self._apply_runtime_stages(
+            re + 1j * im, spec_e_ri[..., 0] + 1j * spec_e_ri[..., 1],
+            lsnr, mask,
+        )
+        # RMS silence skip: the running quiet-frame counter is
+        # ctr_t = t - (last loud frame index ≤ t), computed in parallel
+        # with a cummax over loud-frame indices seeded by the carried
+        # counter.
+        rt_p = self.rt
+        frame_rms = jnp.sqrt(jnp.mean(audio.reshape(s, t, hop) ** 2, axis=-1))
+        quiet = frame_rms < rt_p.silence_rms_thresh  # [S, T]
+        tidx = jnp.arange(t, dtype=jnp.int32)[None, :]
+        loud_idx = jnp.where(quiet, jnp.int32(-(2**30)), tidx)
+        # seed saturates at the skip threshold: only ctr >= threshold
+        # matters, and this keeps the seed above the quiet marker
+        ctr0 = jnp.minimum(
+            carry.silence_ctr.astype(jnp.int32),
+            jnp.int32(rt_p.silence_skip_frames),
+        )
+        seed = (-1 - ctr0)[:, None]
+        last_loud = jax.lax.cummax(
+            jnp.concatenate([seed, loud_idx], axis=1), axis=1
+        )[:, 1:]
+        ctr = tidx - last_loud  # [S, T]
+        spec_e = jnp.where(
+            (ctr >= rt_p.silence_skip_frames)[..., None],
+            jnp.zeros_like(spec_e), spec_e,
+        )
+        spec_e_ri = jnp.stack([jnp.real(spec_e), jnp.imag(spec_e)], -1)
+        # -- synthesis: batched iDFT + overlap-add with carried tail
+        x = (spec_e_ri[..., 0] @ jnp.asarray(re_m)
+             + spec_e_ri[..., 1] @ jnp.asarray(im_m))  # [S, T, fft]
+        chunks = x.reshape(s, t, r, hop)
+        out_len = t * hop
+        full = jnp.zeros((s, out_len + d), jnp.float32)
+        for k in range(r):
+            seg = chunks[:, :, k, :].reshape(s, out_len)
+            full = full.at[:, k * hop : k * hop + out_len].add(seg)
+        full = full.at[:, :d].add(carry.synthesis_mem)
+        out = full[:, :out_len]
+        new_smem = full[:, out_len:]
+        new_carry = StreamCarry(
+            analysis_mem=new_amem,
+            synthesis_mem=new_smem,
+            mean_norm=mtrack[:, -1],
+            unit_norm=utrack[:, -1],
+            silence_ctr=ctr[:, -1],
+            model=mcarry,
+        )
+        return new_carry, out
+
     def _get_process(self, n_frames: int):
         if n_frames not in self._process_jit:
             hop = self.stft_cfg.hop_size
-            fft = self.stft_cfg.fft_size
-            d = fft - hop
-            module = self.model.module
-            params, mstate, cfg = self.model.params, self.model.state, self.cfg
-            from deepfilternet_tpu.ops.norms import _ema_scan
-            from deepfilternet_tpu.ops.stft import dft_matrices, idft_matrices
-
-            cos_m, sin_m = dft_matrices(fft, hop)
-            re_m, im_m = idft_matrices(fft)
-            alpha = self.alpha
-            nb_df = self.nb_df
+            cf = min(self.chunk_frames, n_frames)
+            main = (n_frames // cf) * cf
 
             @jax.jit
             def run(carry: StreamCarry, audio):
                 s = audio.shape[0]
-                t = n_frames
-                # -- analysis: all frames at once
-                buf = jnp.concatenate([carry.analysis_mem, audio], axis=-1)
-                idx = (np.arange(t)[:, None] * hop + np.arange(fft)[None, :])
-                frames = buf[:, idx]                      # [S, T, fft]
-                re = frames @ jnp.asarray(cos_m)
-                im = frames @ jnp.asarray(sin_m)
-                new_amem = buf[:, -d:]
-                # -- features with associative-scan norms
-                power = re**2 + im**2
-                erb_db = 10.0 * jnp.log10(power @ self.erb_fwd + 1e-10)
-                mtrack = _ema_scan(erb_db, carry.mean_norm, alpha, axis=1)
-                feat_erb = (erb_db - mtrack) / 40.0
-                mag_lo = jnp.sqrt(power[..., :nb_df])
-                utrack = _ema_scan(mag_lo, carry.unit_norm, alpha, axis=1)
-                scale = jax.lax.rsqrt(utrack)
-                feat_spec = jnp.stack(
-                    [re[..., :nb_df] * scale, im[..., :nb_df] * scale], axis=-1
-                )
-                spec_ri = jnp.stack([re, im], axis=-1)
-                # -- model chunk
-                mcarry, (spec_e_ri, lsnr, mask) = module.forward_chunk(
-                    params, mstate, cfg, carry.model, spec_ri, feat_erb, feat_spec
-                )
-                # -- post-model RuntimeParams stages, frame-parallel
-                spec_e = self._apply_runtime_stages(
-                    re + 1j * im, spec_e_ri[..., 0] + 1j * spec_e_ri[..., 1],
-                    lsnr, mask,
-                )
-                # RMS silence skip: the running quiet-frame counter is
-                # ctr_t = t - (last loud frame index ≤ t), computed in
-                # parallel with a cummax over loud-frame indices seeded by
-                # the carried counter.
-                rt_p = self.rt
-                frame_rms = jnp.sqrt(
-                    jnp.mean(audio.reshape(s, t, hop) ** 2, axis=-1)
-                )
-                quiet = frame_rms < rt_p.silence_rms_thresh  # [S, T]
-                tidx = jnp.arange(t, dtype=jnp.int32)[None, :]
-                loud_idx = jnp.where(quiet, jnp.int32(-(2**30)), tidx)
-                # seed saturates at the skip threshold: only ctr >= threshold
-                # matters, and this keeps the seed above the quiet marker
-                ctr0 = jnp.minimum(
-                    carry.silence_ctr.astype(jnp.int32),
-                    jnp.int32(rt_p.silence_skip_frames),
-                )
-                seed = (-1 - ctr0)[:, None]
-                last_loud = jax.lax.cummax(
-                    jnp.concatenate([seed, loud_idx], axis=1), axis=1
-                )[:, 1:]
-                ctr = tidx - last_loud  # [S, T]
-                spec_e = jnp.where(
-                    (ctr >= rt_p.silence_skip_frames)[..., None],
-                    jnp.zeros_like(spec_e), spec_e,
-                )
-                spec_e_ri = jnp.stack([jnp.real(spec_e), jnp.imag(spec_e)], -1)
-                # -- synthesis: batched iDFT + overlap-add with carried tail
-                x = (spec_e_ri[..., 0] @ jnp.asarray(re_m)
-                     + spec_e_ri[..., 1] @ jnp.asarray(im_m))  # [S, T, fft]
-                r = fft // hop
-                chunks = x.reshape(s, t, r, hop)
-                out_len = t * hop
-                full = jnp.zeros((s, out_len + d), jnp.float32)
-                for k in range(r):
-                    seg = chunks[:, :, k, :].reshape(s, out_len)
-                    full = full.at[:, k * hop : k * hop + out_len].add(seg)
-                full = full.at[:, :d].add(carry.synthesis_mem)
-                out = full[:, :out_len]
-                new_smem = full[:, out_len:]
-                new_carry = StreamCarry(
-                    analysis_mem=new_amem,
-                    synthesis_mem=new_smem,
-                    mean_norm=mtrack[:, -1],
-                    unit_norm=utrack[:, -1],
-                    silence_ctr=ctr[:, -1],
-                    model=mcarry,
-                )
-                return new_carry, out
+                if main == cf:
+                    carry, out = self._chunk_body(carry, audio[:, : main * hop], cf)
+                else:
+                    a_main = jnp.moveaxis(
+                        audio[:, : main * hop].reshape(s, main // cf, cf * hop), 1, 0
+                    )
+                    carry, o = jax.lax.scan(
+                        lambda c, a: self._chunk_body(c, a, cf), carry, a_main
+                    )
+                    out = jnp.moveaxis(o, 0, 1).reshape(s, -1)
+                if n_frames > main:
+                    carry, o2 = self._chunk_body(
+                        carry, audio[:, main * hop :], n_frames - main
+                    )
+                    out = jnp.concatenate([out, o2], axis=-1)
+                return carry, out
 
             self._process_jit[n_frames] = run
         return self._process_jit[n_frames]
