@@ -8,6 +8,11 @@ The metric is (streams * audio_seconds) / wall_seconds for the FULL
 streaming pipeline (STFT, features, model, DF, ISTFT) over a batch of
 independent 48 kHz streams — the BASELINE.json north star (>=2000x per
 chip at DFN3 parity). Extra diagnostics go to stderr.
+
+Runs the bf16 runtime by default (BENCH_DTYPE=f32 to override): weights/
+features in bfloat16, spectrum/DF/mask application in f32. Measured at
+quality parity on the golden asset (STOI 0.97376 bf16 vs 0.97373 f32,
+SI-SDR 16.87 vs 16.84 dB with the bundled demo model).
 """
 
 import json
@@ -33,7 +38,12 @@ def main():
     log(f"device: {dev}")
 
     model, df_state, _ = init_df()
-    rt = StreamingRuntime(model, df_state)
+    dt_name = os.environ.get("BENCH_DTYPE", "bf16")
+    if dt_name not in ("bf16", "f32"):
+        sys.exit(f"BENCH_DTYPE must be bf16 or f32, got {dt_name!r}")
+    dtype = jnp.float32 if dt_name == "f32" else jnp.bfloat16
+    log(f"runtime dtype: {dtype.__name__}")
+    rt = StreamingRuntime(model, df_state, dtype=dtype)
 
     n_streams = int(os.environ.get("BENCH_STREAMS", "2048"))
     seconds = float(os.environ.get("BENCH_SECONDS", "4.0"))
