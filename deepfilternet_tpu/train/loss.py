@@ -5,9 +5,10 @@ re/im pairs or complex64 interior values. The `Loss` aggregator wires the
 same config sections/keys as the reference ([MaskLoss], [SpectralLoss],
 [MultiResSpecLoss], [SdrLoss], [LocalSnrLoss]) with identical defaults.
 
-ASRLoss (Whisper-embedding distillation, df/loss.py:419-648) is gated: it
-requires the transformers Whisper weights which are not vendored; enabling
-it without the weights raises at construction.
+ASRLoss (Whisper-embedding distillation, df/loss.py:419-648) is implemented
+in `asr_loss.py` (jittable JAX, HF Flax Whisper); the pretrained weights are
+not vendored, so enabling it requires a local weights path (ASRLoss.MODEL)
+or an injected model, else construction raises with a clear message.
 """
 
 from __future__ import annotations
@@ -233,7 +234,7 @@ class Loss:
     """
 
     def __init__(self, stft_cfg: Stft, erb_widths_: Sequence[int], nb_df: int,
-                 lsnr_range: Tuple[float, float]):
+                 lsnr_range: Tuple[float, float], asr_model=None):
         self.stft_cfg = stft_cfg
         self.nb_df = nb_df
         self.lsnr_range = lsnr_range
@@ -263,10 +264,17 @@ class Loss:
         )
         self.lsnr_f = c("factor", 0.0005, float, section="LocalSnrLoss")
         asrl_f = c("factor", 0.0, float, section="ASRLoss")
-        if asrl_f > 0:
-            raise NotImplementedError(
-                "ASRLoss requires vendored Whisper weights; not available in "
-                "this environment (reference df/loss.py:419-648)."
+        self.asr_loss = None
+        if asrl_f > 0 or asr_model is not None:
+            from deepfilternet_tpu.train.asr_loss import ASRLoss
+
+            self.asr_loss = ASRLoss(
+                sr=stft_cfg.sr,
+                factor=asrl_f,
+                factor_lm=c("factor_lm", 1.0, float, section="ASRLoss"),
+                loss_lm=c("loss_lm", "CrossEntropy", str, section="ASRLoss"),
+                model=c("model", "", str, section="ASRLoss"),
+                whisper_model=asr_model,
             )
 
     def __call__(
@@ -299,7 +307,7 @@ class Loss:
                 enhanced, clean, gamma=self.sl_gamma, factor_magnitude=self.sl_fm,
                 factor_complex=self.sl_fc, factor_under=self.sl_fu,
             )
-        need_td = self.mrsl_f > 0 or self.sdrl_f != 0
+        need_td = self.mrsl_f > 0 or self.sdrl_f != 0 or self.asr_loss is not None
         if need_td:
             enhanced_td = istft(enhanced, p)
             clean_td = istft(clean, p)
@@ -316,6 +324,8 @@ class Loss:
                 losses["sdr"] = sdr_loss(enhanced_td, clean_td, factor=self.sdrl_f)
         if self.lsnr_f != 0:
             losses["lsnr"] = local_snr_loss(lsnr, lsnr_gt, factor=self.lsnr_f)
+        if self.asr_loss is not None:
+            losses["asr"] = self.asr_loss(enhanced_td, clean_td)
         for v in losses.values():
             total = total + v
         return total, losses
