@@ -380,3 +380,104 @@ def streaming_cell(params, state, cfg, carry: StreamState1, spec_ri, feat_erb,
     )
     spec_e_ri = jnp.stack([jnp.real(spec_e), jnp.imag(spec_e)], axis=-1)
     return new_carry, (spec_e_ri, lsnr, m)
+
+
+# ---------------------------------------------------------------------------
+# chunked streaming forward (see dfnet3.forward_chunk): frame-parallel
+# conv/linear/DF work, GRU recurrences carried; every k>1 conv stage keeps
+# its own carried input context (DFN1 encoder convs have time kernel 2)
+# ---------------------------------------------------------------------------
+
+
+def forward_chunk(params, state, cfg, carry: StreamState1, spec, feat_erb,
+                  feat_spec):
+    """spec [B,T,F,2], feat_erb [B,T,E], feat_spec [B,T,F',2] ->
+    (carry', (spec_e [B,T,F,2], lsnr [B,T,1], mask [B,T,E])). Bit-matches
+    running streaming_cell T times."""
+    L = cfg["layers"]
+    nb_df = cfg["nb_df"]
+    order = cfg["df_order"]
+    b, t = feat_erb.shape[:2]
+
+    def conv(name, x, ctx_buf, k):
+        """Causal conv over a chunk with carried input context.
+        x [B,C,T,F]; ctx_buf [B,C,k-1,F] -> (out [B,C',T,F'], new_buf)."""
+        fn = (
+            conv_transpose2d_norm_act_apply
+            if L[name].get("transposed")
+            else conv2d_norm_act_apply
+        )
+        if k > 1:
+            xe = jnp.concatenate([ctx_buf, x], axis=2)
+            out, _ = fn(params[name], state.get(name, {}), L[name], xe, False)
+            return out[:, :, k - 1 :], xe[:, :, -(k - 1) :]
+        out, _ = fn(params[name], state.get(name, {}), L[name], x, False)
+        return out, ctx_buf
+
+    k0 = cfg["k0"]
+    ke = cfg["k_enc"]
+    fe = feat_erb[:, None]  # [B,1,T,E]
+    fs = jnp.moveaxis(feat_spec, -1, 1)  # [B,2,T,F']
+    e0, erb_buf = conv("erb_conv0", fe, carry.erb_buf, k0)
+    e1, e0_buf = conv("erb_conv1", e0, carry.e0_buf, ke)
+    e2, e1_buf = conv("erb_conv2", e1, carry.e1_buf, ke)
+    e3, e2_buf = conv("erb_conv3", e2, carry.e2_buf, ke)
+    c0, spec_buf = conv("df_conv0", fs, carry.spec_buf, k0)
+    c1, c0_buf = conv("df_conv1", c0, carry.c0_buf, ke)
+
+    # channel-major flatten (deepfilternet.py DFN1 layout)
+    cemb = jnp.transpose(c1, (0, 2, 1, 3)).reshape(b, t, -1)
+    cemb = grouped_linear_shuffle_apply(params["df_fc_emb"], L["df_fc_emb"], cemb)
+    emb = jnp.transpose(e3, (0, 2, 1, 3)).reshape(b, t, -1)
+    emb = emb + cemb
+    emb, enc_h = grouped_gru_apply(params["enc_emb_gru"], L["enc_emb_gru"],
+                                   emb, carry.enc_gru_h)
+    lsnr = jax.nn.sigmoid(linear_apply(params["lsnr_fc"], emb))
+    lsnr = lsnr * (cfg["lsnr_max"] - cfg["lsnr_min"]) + cfg["lsnr_min"]
+
+    demb = jax.nn.relu(
+        grouped_linear_shuffle_apply(params["dec_fc_emb"], L["dec_fc_emb"], emb)
+    )
+    f8 = e3.shape[-1]
+    demb = jnp.transpose(demb.reshape(b, t, -1, f8), (0, 2, 1, 3))
+    d3, _ = conv("convt3", conv("conv3p", e3, None, 1)[0] + demb, None, 1)
+    d2, _ = conv("convt2", conv("conv2p", e2, None, 1)[0] + d3, None, 1)
+    d1, _ = conv("convt1", conv("conv1p", e1, None, 1)[0] + d2, None, 1)
+    m, _ = conv("conv0_out", conv("conv0p", e0, None, 1)[0] + d1, None, 1)
+    m = m[:, 0]
+
+    if cfg["mask_pf"]:
+        m = post_filter_mask(m, cfg["pf_beta"])
+
+    spec_c = spec[..., 0] + 1j * spec[..., 1]
+    spec_m = spec_c * (m @ jnp.asarray(cfg["erb_inv_fb"]))
+
+    c, df_h = grouped_gru_apply(params["df_gru"], L["df_gru"], emb, carry.df_gru_h)
+    alpha = jax.nn.sigmoid(linear_apply(params["df_fc_a"], c))  # [B,T,1]
+    c0p = jnp.transpose(conv("df_convp", c0, None, 1)[0], (0, 2, 1, 3))
+    coefs = jnp.tanh(linear_apply(params["df_out"], c))
+    coefs = coefs.reshape(b, t, order * 2, nb_df) + c0p
+    coefs = jnp.moveaxis(coefs.reshape(b, t, order, 2, nb_df), -1, -2)
+    coefs_c = coefs[..., 0] + 1j * coefs[..., 1]  # [B,T,O,F']
+
+    ring = carry.df_ring_re + 1j * carry.df_ring_im
+    lo_ext = jnp.concatenate([ring, spec_m[..., :nb_df]], axis=1)
+    un = jnp.stack([lo_ext[:, n : n + t] for n in range(order)], axis=2)
+    filt = jnp.sum(un * coefs_c, axis=2)
+    lo = filt * alpha + spec_m[..., :nb_df] * (1 - alpha)
+    spec_e = jnp.concatenate([lo, spec_m[..., nb_df:]], axis=-1)
+
+    new_carry = StreamState1(
+        erb_buf=erb_buf,
+        spec_buf=spec_buf,
+        e0_buf=e0_buf,
+        e1_buf=e1_buf,
+        e2_buf=e2_buf,
+        c0_buf=c0_buf,
+        enc_gru_h=enc_h,
+        df_gru_h=df_h,
+        df_ring_re=jnp.real(lo_ext[:, -(order - 1) :]) if order > 1 else carry.df_ring_re,
+        df_ring_im=jnp.imag(lo_ext[:, -(order - 1) :]) if order > 1 else carry.df_ring_im,
+    )
+    spec_e_ri = jnp.stack([jnp.real(spec_e), jnp.imag(spec_e)], axis=-1)
+    return new_carry, (spec_e_ri, lsnr, m)

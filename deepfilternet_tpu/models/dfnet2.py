@@ -480,3 +480,128 @@ def streaming_cell(params, state, cfg, carry: StreamState2, spec_ri, feat_erb,
     )
     spec_e_ri = jnp.stack([jnp.real(spec_e), jnp.imag(spec_e)], axis=-1)
     return new_carry, (spec_e_ri, lsnr, m)
+
+
+# ---------------------------------------------------------------------------
+# chunked streaming forward (see dfnet3.forward_chunk): frame-parallel
+# conv/linear/DF work, GRU recurrences carried across chunk boundaries
+# ---------------------------------------------------------------------------
+
+
+def forward_chunk(params, state, cfg, carry: StreamState2, spec, feat_erb,
+                  feat_spec):
+    """spec [B,T,F,2], feat_erb [B,T,E], feat_spec [B,T,F',2] ->
+    (carry', (spec_e [B,T,F,2], lsnr [B,T,1], mask [B,T,E])). Bit-matches
+    running streaming_cell T times."""
+    assert cfg["df_n_iter"] == 1, "streaming supports df_n_iter == 1"
+    L = cfg["layers"]
+    nb_df = cfg["nb_df"]
+    order = cfg["df_order"]
+    kt0 = cfg["conv_kernel_inp"][0]
+    ctx = kt0 - 1
+    b, t = feat_erb.shape[:2]
+
+    # prepend carried conv context; causal-padded conv outputs for the
+    # context rows are discarded below
+    fe = jnp.concatenate([carry.erb_buf[:, 0], feat_erb], axis=1)
+    fs = jnp.concatenate(
+        [jnp.moveaxis(carry.spec_buf, 1, -1), feat_spec], axis=1
+    )
+
+    def conv(name, x):
+        fn = (
+            conv_transpose2d_norm_act_apply
+            if L[name].get("transposed")
+            else conv2d_norm_act_apply
+        )
+        out, _ = fn(params[name], state.get(name, {}), L[name], x, False)
+        return out
+
+    e0 = conv("erb_conv0", fe[:, None])[:, :, ctx:]
+    e1 = conv("erb_conv1", e0)
+    e2 = conv("erb_conv2", e1)
+    e3 = conv("erb_conv3", e2)
+    c0 = conv("df_conv0", jnp.moveaxis(fs, -1, 1))[:, :, ctx:]
+    c1 = conv("df_conv1", c0)
+
+    cemb = jnp.transpose(c1, (0, 2, 3, 1)).reshape(b, t, -1)
+    cemb = _fc_emb_apply(params, L, cfg, cemb)
+    emb = jnp.transpose(e3, (0, 2, 3, 1)).reshape(b, t, -1)
+    emb = jnp.concatenate([emb, cemb], -1) if cfg["enc_concat"] else emb + cemb
+    emb, enc_h = _gru_apply(params, L, "enc_emb_gru", cfg, emb, carry.enc_gru_h)
+    lsnr = jax.nn.sigmoid(linear_apply(params["lsnr_fc"], emb))
+    lsnr = lsnr * (cfg["lsnr_max"] - cfg["lsnr_min"]) + cfg["lsnr_min"]
+
+    if cfg["grouped"]:
+        demb_in = emb[..., : cfg["emb_in_dim"]]
+        demb, dec_h = _gru_apply(params, L, "dec_emb_gru", cfg, demb_in,
+                                 carry.dec_gru_h)
+        demb = jax.nn.relu(
+            grouped_linear_shuffle_apply(params["dec_fc_emb"], L["dec_fc_emb"], demb)
+        )
+    else:
+        demb, dec_h = _gru_apply(params, L, "dec_emb_gru", cfg, emb,
+                                 carry.dec_gru_h)
+    f8 = e3.shape[-1]
+    demb = jnp.transpose(demb.reshape(b, t, f8, -1), (0, 3, 1, 2))
+    d3 = conv("convt3", conv("conv3p", e3) + demb)
+    d2 = conv("convt2", conv("conv2p", e2) + d3)
+    d1 = conv("convt1", conv("conv1p", e1) + d2)
+    m = conv("conv0_out", conv("conv0p", e0) + d1)[:, 0]  # [B,T,E]
+
+    if cfg["mask_pf"]:
+        m = post_filter_mask(m, cfg["pf_beta"])
+
+    spec_c = spec[..., 0] + 1j * spec[..., 1]
+    bin_gains = m @ jnp.asarray(cfg["erb_inv_fb"])
+    spec_m = spec_c * bin_gains
+
+    c, df_h = _gru_apply(params, L, "df_gru", cfg, emb, carry.df_gru_h)
+    if cfg["df_gru_skip"] == "identity":
+        c = c + emb
+    elif cfg["df_gru_skip"] == "groupedlinear":
+        c = c + grouped_linear_apply(params["df_skip"], emb)
+    alpha = jax.nn.sigmoid(linear_apply(params["df_fc_a"], c))  # [B,T,1]
+
+    ktp = cfg["df_pathway_kt"]
+    if ktp > 1:
+        c0_ext = jnp.concatenate([carry.c0_buf, c0], axis=2)
+        c0p = conv("df_convp", c0_ext)[:, :, ktp - 1 :]
+        new_c0_buf = c0_ext[:, :, -(ktp - 1) :]
+    else:
+        c0p = conv("df_convp", c0)
+        new_c0_buf = carry.c0_buf
+    if cfg["df_output_layer"] == "linear":
+        coefs = jnp.tanh(linear_apply(params["df_out"], c))
+        c0p_l = jnp.transpose(c0p, (0, 2, 1, 3))  # [B,T,O*2,F']
+        coefs = coefs.reshape(b, t, order * 2, nb_df) + c0p_l
+        coefs = jnp.moveaxis(coefs.reshape(b, t, order, 2, nb_df), -1, -2)
+    else:
+        coefs = jnp.tanh(grouped_linear_apply(params["df_out"], c))
+        c0p_g = jnp.transpose(c0p, (0, 2, 3, 1))  # [B,T,F',O*2]
+        coefs = coefs.reshape(b, t, nb_df, order * 2) + c0p_g
+        coefs = coefs.reshape(b, t, nb_df, order, 2)
+        coefs = jnp.moveaxis(coefs, 2, 3)  # [B,T,O,F',2]
+    coefs_c = coefs[..., 0] + 1j * coefs[..., 1]  # [B,T,O,F']
+
+    # DF over the masked low band with carried ring history
+    ring = carry.df_ring_re + 1j * carry.df_ring_im  # [B, O-1, F']
+    lo_ext = jnp.concatenate([ring, spec_m[..., :nb_df]], axis=1)
+    taps = [lo_ext[:, n : n + t] for n in range(order)]
+    un = jnp.stack(taps, axis=2)  # [B, T, O, F']
+    filt = jnp.sum(un * coefs_c, axis=2)
+    lo = _apply_alpha_df(spec_m[..., :nb_df], filt, alpha, cfg["use_alpha"])
+    spec_e = jnp.concatenate([lo, spec_m[..., nb_df:]], axis=-1)
+
+    new_carry = StreamState2(
+        erb_buf=fe[:, -ctx:][:, None] if ctx > 0 else carry.erb_buf,
+        spec_buf=jnp.moveaxis(fs[:, -ctx:], -1, 1) if ctx > 0 else carry.spec_buf,
+        c0_buf=new_c0_buf,
+        enc_gru_h=enc_h,
+        dec_gru_h=dec_h,
+        df_gru_h=df_h,
+        df_ring_re=jnp.real(lo_ext[:, -(order - 1) :]) if order > 1 else carry.df_ring_re,
+        df_ring_im=jnp.imag(lo_ext[:, -(order - 1) :]) if order > 1 else carry.df_ring_im,
+    )
+    spec_e_ri = jnp.stack([jnp.real(spec_e), jnp.imag(spec_e)], axis=-1)
+    return new_carry, (spec_e_ri, lsnr, m)

@@ -289,7 +289,7 @@ class ChunkedStreamingRuntime(StreamingRuntime):
     semantics and carry as StreamingRuntime — chunk/call boundaries are
     state-continuous.
 
-    Requires a model module exposing `forward_chunk` (DFN3).
+    Requires a model module exposing `forward_chunk` (DFN1/2/3).
     """
 
     def __init__(self, *args, chunk_frames: int = 20, **kwargs):

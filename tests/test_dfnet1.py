@@ -60,3 +60,27 @@ class TestDfNet1:
         # upper bins are purely masked
         got = np.asarray(spec_e[..., cfg["nb_df"]:, 0] + 1j * spec_e[..., cfg["nb_df"]:, 1])
         np.testing.assert_allclose(got, spec_m[..., cfg["nb_df"]:], atol=1e-5)
+
+
+def test_forward_chunk_matches_cell(model, rng):
+    params, state, cfg = model
+    b, t = 2, 9
+    spec, fe, fs = _rand_inputs(rng, b, t, cfg)
+    carry = dfnet1.streaming_init(b, cfg)
+    ref = []
+    for i in range(t):
+        carry, (se, ls, m) = dfnet1.streaming_cell(
+            params, state, cfg, carry, spec[:, i], fe[:, i], fs[:, i]
+        )
+        ref.append(np.asarray(se))
+    ref = np.stack(ref, 1)
+
+    # two chunks (4 | 5): state continuity across the boundary
+    c = dfnet1.streaming_init(b, cfg)
+    outs = []
+    for lo, hi in [(0, 4), (4, t)]:
+        c, (se, ls, m) = dfnet1.forward_chunk(
+            params, state, cfg, c, spec[:, lo:hi], fe[:, lo:hi], fs[:, lo:hi]
+        )
+        outs.append(np.asarray(se))
+    np.testing.assert_allclose(np.concatenate(outs, 1), ref, atol=2e-5)

@@ -66,3 +66,42 @@ def test_df_iter_2_offline(rng):
     spec, fe, fs = _rand_inputs(rng, 1, 6, cfg)
     (spec_e, _, _, _), _ = dfnet2.forward(params, state, cfg, spec, fe, fs)
     assert np.all(np.isfinite(np.asarray(spec_e)))
+
+
+@pytest.mark.parametrize(
+    "gru_type,df_out,dfop,ktp",
+    [
+        ("squeeze", "groupedlinear", "complex_strided", 1),
+        ("grouped", "linear", "real_unfold", 1),
+        ("squeeze", "groupedlinear", "complex_strided", 5),  # df_convp context
+    ],
+)
+def test_forward_chunk_matches_cell(gru_type, df_out, dfop, ktp, rng):
+    config.reset()
+    config.set("GRU_TYPE", gru_type, section="deepfilternet")
+    config.set("DF_OUTPUT_LAYER", df_out, section="deepfilternet")
+    config.set("DFOP_METHOD", dfop, section="deepfilternet")
+    config.set("DF_N_ITER", "1", section="deepfilternet")
+    config.set("DF_PATHWAY_KERNEL_SIZE_T", str(ktp), section="deepfilternet")
+    params, state, cfg = dfnet2.init_dfnet2(jax.random.PRNGKey(0))
+
+    b, t = 2, 9
+    spec, fe, fs = _rand_inputs(rng, b, t, cfg)
+    carry = dfnet2.streaming_init(b, cfg)
+    ref = []
+    for i in range(t):
+        carry, (se, ls, m) = dfnet2.streaming_cell(
+            params, state, cfg, carry, spec[:, i], fe[:, i], fs[:, i]
+        )
+        ref.append(np.asarray(se))
+    ref = np.stack(ref, 1)
+
+    # two chunks (4 | 5): state continuity across the boundary
+    c = dfnet2.streaming_init(b, cfg)
+    outs = []
+    for lo, hi in [(0, 4), (4, t)]:
+        c, (se, ls, m) = dfnet2.forward_chunk(
+            params, state, cfg, c, spec[:, lo:hi], fe[:, lo:hi], fs[:, lo:hi]
+        )
+        outs.append(np.asarray(se))
+    np.testing.assert_allclose(np.concatenate(outs, 1), ref, atol=2e-5)

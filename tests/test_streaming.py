@@ -111,3 +111,25 @@ class TestChunkedRuntime:
             outs.append(np.asarray(o))
         got = np.concatenate(outs, axis=1)
         np.testing.assert_allclose(got, np.asarray(ref), atol=1e-4)
+
+
+class TestChunkedRuntimeAllGenerations:
+    @pytest.mark.parametrize("model_dir", [
+        "pretrained/dfn1_fixture_demo",
+        "pretrained/dfn2_fixture_demo",
+    ])
+    def test_matches_per_frame_runtime(self, model_dir, rng):
+        from deepfilternet_tpu.streaming import ChunkedStreamingRuntime
+
+        model, df_state, _ = init_df(model_dir)
+        rt = StreamingRuntime(model, df_state)
+        crt = ChunkedStreamingRuntime(model, df_state, chunk_frames=4)
+        audio = rng.standard_normal((2, 480 * 10)).astype(np.float32) * 0.1
+        _, ref = rt.process(rt.init(2), jnp.asarray(audio))
+        c = crt.init(2)
+        outs = []
+        for lo, hi in [(0, 4800 * 0 + 2880), (2880, 4800)]:  # 6 | 4 frames
+            c, o = crt.process(c, jnp.asarray(audio[:, lo:hi]))
+            outs.append(np.asarray(o))
+        np.testing.assert_allclose(np.concatenate(outs, 1), np.asarray(ref),
+                                   atol=1e-4)
