@@ -584,7 +584,14 @@ def forward_chunk(
         c = c + emb
     elif cfg["df_gru_skip"] == "groupedlinear":
         c = c + grouped_linear_apply(params["df_skip"], emb)
-    c0p = conv("df_convp", c0)
+    ktp = cfg["df_pathway_kt"]
+    if ktp > 1:
+        c0_ext = jnp.concatenate([carry.c0_buf, c0], axis=2)
+        c0p = conv("df_convp", c0_ext)[:, :, ktp - 1 :]
+        new_c0_buf = c0_ext[:, :, -(ktp - 1) :]
+    else:
+        c0p = conv("df_convp", c0)
+        new_c0_buf = carry.c0_buf
     c0p = jnp.transpose(c0p, (0, 2, 3, 1))  # [B,T,F',O*2]
     coefs = jnp.tanh(grouped_linear_apply(params["df_out"], c))
     coefs = coefs.reshape(b, t, nb_df, cfg["df_order"] * 2) + c0p
@@ -613,7 +620,7 @@ def forward_chunk(
     new_carry = StreamState(
         erb_buf=fe[:, -ctx:][:, None] if ctx > 0 else carry.erb_buf,
         spec_buf=jnp.moveaxis(fs[:, -ctx:], -1, 1) if ctx > 0 else carry.spec_buf,
-        c0_buf=carry.c0_buf,
+        c0_buf=new_c0_buf,
         enc_gru_h=enc_h,
         dec_gru_h=dec_h,
         df_gru_h=df_h,

@@ -294,6 +294,11 @@ class ChunkedStreamingRuntime(StreamingRuntime):
 
     def __init__(self, *args, chunk_frames: int = 20, **kwargs):
         super().__init__(*args, **kwargs)
+        if self.dtype != jnp.float32 or self.use_pallas:
+            raise NotImplementedError(
+                "ChunkedStreamingRuntime supports float32 without the pallas "
+                "frontend; use StreamingRuntime for dtype/use_pallas options"
+            )
         self.chunk_frames = chunk_frames
 
     def _chunk_body(self, carry: StreamCarry, audio: jnp.ndarray, t: int

@@ -130,3 +130,34 @@ class TestStreaming:
         out = run(spec, feat_erb, feat_spec)
         (out_off, _, _, _), _ = forward(params, state, cfg, spec, feat_erb, feat_spec)
         np.testing.assert_allclose(np.asarray(out), np.asarray(out_off), atol=2e-4)
+
+
+@pytest.mark.parametrize("ktp", [1, 5])
+def test_forward_chunk_matches_cell(ktp, rng):
+    from deepfilternet_tpu.models.dfnet3 import forward_chunk, init_dfnet3
+
+    config.reset()
+    config.set("DF_PATHWAY_KERNEL_SIZE_T", str(ktp), section="deepfilternet")
+    try:
+        params, state, cfg = init_dfnet3(jax.random.PRNGKey(0))
+        b, t = 2, 9
+        spec, fe, fs = _rand_inputs(rng, b, t, cfg)
+        carry = streaming_init(b, cfg)
+        ref = []
+        for i in range(t):
+            carry, (se, ls, m) = streaming_cell(
+                params, state, cfg, carry, spec[:, i], fe[:, i], fs[:, i]
+            )
+            ref.append(np.asarray(se))
+        ref = np.stack(ref, 1)
+
+        c = streaming_init(b, cfg)
+        outs = []
+        for lo, hi in [(0, 4), (4, t)]:  # state continuity across the boundary
+            c, (se, ls, m) = forward_chunk(
+                params, state, cfg, c, spec[:, lo:hi], fe[:, lo:hi], fs[:, lo:hi]
+            )
+            outs.append(np.asarray(se))
+        np.testing.assert_allclose(np.concatenate(outs, 1), ref, atol=2e-5)
+    finally:
+        config.reset()
