@@ -133,3 +133,53 @@ class TestChunkedRuntimeAllGenerations:
             outs.append(np.asarray(o))
         np.testing.assert_allclose(np.concatenate(outs, 1), np.asarray(ref),
                                    atol=1e-4)
+
+
+class TestChunkedRuntimeParams:
+    """Regression: the chunked runtime must apply the same post-model
+    RuntimeParams stages (LSNR gating, atten-lim, silence skip) as the
+    per-frame cell — they were once silently skipped."""
+
+    def test_gating_and_atten_lim_parity(self, setup, rng):
+        from deepfilternet_tpu.streaming import (
+            ChunkedStreamingRuntime,
+            RuntimeParams,
+        )
+
+        model, df_state, _ = setup
+        rp = RuntimeParams(atten_lim_db=12.0, lsnr_gating=True)
+        rt = StreamingRuntime(model, df_state, rp)
+        crt = ChunkedStreamingRuntime(model, df_state, rp, chunk_frames=4)
+        audio = rng.standard_normal((2, 480 * 10)).astype(np.float32) * 0.1
+        _, ref = rt.process(rt.init(2), jnp.asarray(audio))
+        _, got = crt.process(crt.init(2), jnp.asarray(audio))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+    def test_silence_counter_continuity(self, setup):
+        from deepfilternet_tpu.streaming import (
+            ChunkedStreamingRuntime,
+            RuntimeParams,
+        )
+
+        model, df_state, _ = setup
+        rp = RuntimeParams()
+        rt = StreamingRuntime(model, df_state, rp)
+        crt = ChunkedStreamingRuntime(model, df_state, rp, chunk_frames=4)
+        z = np.zeros((1, 480 * 3), np.float32)
+        cA, cB = rt.init(1), crt.init(1)
+        cA, _ = rt.process(cA, jnp.asarray(z))
+        cB, _ = crt.process(cB, jnp.asarray(z))
+        assert int(cA.silence_ctr[0]) == int(cB.silence_ctr[0]) == 3
+        # a loud frame inside the next chunk resets both counters identically
+        loud = np.concatenate([z[:, :480], np.full((1, 480), 0.5, np.float32),
+                               z[:, :960]], axis=1)
+        cA, _ = rt.process(cA, jnp.asarray(loud))
+        cB, _ = crt.process(cB, jnp.asarray(loud))
+        assert int(cA.silence_ctr[0]) == int(cB.silence_ctr[0]) == 2
+
+    def test_unsupported_options_rejected(self, setup):
+        from deepfilternet_tpu.streaming import ChunkedStreamingRuntime
+
+        model, df_state, _ = setup
+        with pytest.raises(NotImplementedError):
+            ChunkedStreamingRuntime(model, df_state, dtype=jnp.bfloat16)
