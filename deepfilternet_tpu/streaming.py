@@ -299,6 +299,11 @@ class ChunkedStreamingRuntime(StreamingRuntime):
                 "ChunkedStreamingRuntime supports float32 without the pallas "
                 "frontend; use StreamingRuntime for dtype/use_pallas options"
             )
+        if not hasattr(self.model.module, "forward_chunk"):
+            raise NotImplementedError(
+                f"model module {self.model.module.__name__} has no "
+                "forward_chunk; use StreamingRuntime"
+            )
         self.chunk_frames = chunk_frames
 
     def _chunk_body(self, carry: StreamCarry, audio: jnp.ndarray, t: int
