@@ -21,7 +21,6 @@ from typing import Any, Dict, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from deepfilternet_tpu.config import config
 from deepfilternet_tpu.ops import get_norm_alpha
@@ -33,9 +32,7 @@ from deepfilternet_tpu.ops.norms import (
 )
 from deepfilternet_tpu.ops.stft import (
     Stft,
-    analysis_step,
     analysis_step_ri,
-    synthesis_step,
     synthesis_step_ri,
 )
 
