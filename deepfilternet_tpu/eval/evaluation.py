@@ -5,8 +5,10 @@ file and computes the configured metrics in a process pool (metric math is
 NumPy/CPU-bound), returning per-file and mean results with optional CSV
 export — the same workflow as the reference's evaluation_loop/Metric tree.
 
-Metrics: stoi, sisdr, snrseg, fwsnrseg, llr, wss, composite (pesq-gated),
+Metrics: stoi, sisdr, snrseg, fwsnrseg, llr, wss, pesq, pesq-nb, composite,
 dnsmos (gated: requires onnxruntime + model files, neither vendored here).
+PESQ uses the ITU `pesq` wheel when installed, else the from-spec NumPy
+implementation in eval/pesq.py.
 """
 
 from __future__ import annotations
@@ -64,6 +66,16 @@ def compute_metrics(
         out["llr"] = sepm.llr(c16, e16, 16000)
     if "wss" in metrics:
         out["wss"] = sepm.wss(c16, e16, 16000)
+    if "pesq" in metrics:
+        from deepfilternet_tpu.eval.pesq import pesq as _pesq
+
+        out["pesq_wb"] = _pesq(16000, c16, e16, "wb")
+    if "pesq-nb" in metrics:
+        from deepfilternet_tpu.eval.pesq import pesq as _pesq
+
+        c8 = resample(c16[None].astype(np.float32), 16000, 8000)[0]
+        e8 = resample(e16[None].astype(np.float32), 16000, 8000)[0]
+        out["pesq_nb"] = _pesq(8000, c8, e8, "nb")
     if "composite" in metrics:
         pesq_mos, csig, cbak, covl, segsnr = sepm.composite(c16, e16, 16000)
         out.update(pesq=pesq_mos, csig=csig, cbak=cbak, covl=covl,
@@ -134,4 +146,13 @@ def evaluation_loop(
     for _, m in results:
         for k, v in m.items():
             means.setdefault(k, []).append(v)  # type: ignore[arg-type]
+    nan_metrics = sorted(k for k, v in means.items() if np.isnan(v).any())
+    if nan_metrics:
+        from deepfilternet_tpu.utils.logger import warn_once
+
+        warn_once(
+            f"metrics with NaN entries excluded from means: {nan_metrics} "
+            "(a fully-NaN column means the metric is unavailable, e.g. "
+            "DNSMOS without onnxruntime/models)"
+        )
     return {k: float(np.nanmean(v)) for k, v in means.items()}

@@ -5,10 +5,10 @@ segmental SNR, frequency-weighted segmental SNR, log-likelihood ratio
 (LPC-based), weighted spectral slope, and the Hu & Loizou CSIG/CBAK/COVL
 regressions (published constants; sepm.py:490-510).
 
-PESQ (ITU-T P.862) is a licensed reference implementation the reference
-consumes via the `pesq` wheel; it is not vendored in this environment.
-`composite()` accepts any callable with the same signature via `pesq_fn`
-and reports NaN for the PESQ-dependent outputs when unavailable.
+PESQ (ITU-T P.862): the reference consumes the `pesq` wheel
+(df/sepm.py:499). `composite()` uses that wheel when installed, else the
+from-spec NumPy implementation in eval/pesq.py; a custom callable with
+the same signature can be injected via `pesq_fn`.
 """
 
 from __future__ import annotations
@@ -227,17 +227,15 @@ def composite(
     seg_snr = snr_seg(clean, processed, fs)
     if pesq_fn is None:
         try:
+            # prefer the ITU reference implementation when the wheel exists
             from pesq import pesq as pesq_fn  # type: ignore
         except ImportError:
-            pesq_fn = None
-    if pesq_fn is not None:
-        pesq_mos = float(pesq_fn(fs, clean, processed, "wb"))
-        csig = float(np.clip(3.093 - 1.029 * llr_mean + 0.603 * pesq_mos
-                             - 0.009 * wss_dist, 1, 5))
-        cbak = float(np.clip(1.634 + 0.478 * pesq_mos - 0.007 * wss_dist
-                             + 0.063 * seg_snr, 1, 5))
-        covl = float(np.clip(1.594 + 0.805 * pesq_mos - 0.512 * llr_mean
-                             - 0.007 * wss_dist, 1, 5))
-    else:
-        pesq_mos = csig = cbak = covl = float("nan")
+            from .pesq import pesq as pesq_fn  # from-spec NumPy P.862
+    pesq_mos = float(pesq_fn(fs, clean, processed, "wb"))
+    csig = float(np.clip(3.093 - 1.029 * llr_mean + 0.603 * pesq_mos
+                         - 0.009 * wss_dist, 1, 5))
+    cbak = float(np.clip(1.634 + 0.478 * pesq_mos - 0.007 * wss_dist
+                         + 0.063 * seg_snr, 1, 5))
+    covl = float(np.clip(1.594 + 0.805 * pesq_mos - 0.512 * llr_mean
+                         - 0.007 * wss_dist, 1, 5))
     return pesq_mos, csig, cbak, covl, seg_snr

@@ -24,7 +24,7 @@ import numpy as np
 
 DEFAULT_NOISY = "/root/reference/assets/noisy_snr0.wav"
 DEFAULT_CLEAN = "/root/reference/assets/clean_freesound_33711.wav"
-METRICS = ("stoi", "sisdr", "snrseg")
+METRICS = ("stoi", "sisdr", "snrseg", "composite")
 
 
 def eval_model(model_dir: str, noisy_path: str, clean_path: str) -> Dict[str, float]:
