@@ -1,0 +1,140 @@
+"""Train a bundled fixture-demo model (any generation) on the in-repo assets.
+
+The reference CI pins golden metrics for its *released* checkpoints
+(df/scripts/test_df.py:44-78); without network access to those weights,
+this repo ships small fixture-trained demo checkpoints per generation
+under pretrained/<name>_fixture_demo and regenerates its own goldens via
+scripts.test_df. This driver (re)trains one such demo model:
+
+    python -m deepfilternet_tpu.scripts.train_demo MODEL_DIR [seconds]
+
+MODEL_DIR must contain a config.ini selecting the model + losses; the
+best checkpoint is written to MODEL_DIR/checkpoints. Training data is the
+reference's asset fixtures (clean.hdf5 + noise_flac.hdf5) in overfit mode
+— a validation of the full train->inference stack, not a real corpus.
+"""
+
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deepfilternet_tpu.checkpoint import read_cp, write_cp
+from deepfilternet_tpu.config import config
+
+
+def main(model_dir: str, budget_s: float = 600.0, lr: float = 3e-4) -> None:
+    config.reset()
+    ini = os.path.join(model_dir, "config.ini")
+    if os.path.isfile(ini):
+        config.load(ini)
+    # fixture-demo loss stack (reference train defaults)
+    for sec, k, v in (
+        ("SpectralLoss", "factor_magnitude", "100"),
+        ("SpectralLoss", "factor_complex", "100"),
+        ("SpectralLoss", "gamma", "0.6"),
+        ("MaskLoss", "factor", "1"),
+        ("LocalSnrLoss", "factor", "0.0005"),
+    ):
+        if not config.obj.parser.has_option(sec, k):
+            config.set(k, v, section=sec)
+
+    from deepfilternet_tpu.data.dataloader import DataLoader
+    from deepfilternet_tpu.data.dataset import FdDataset, Hdf5Cfg, TdDataset
+    from deepfilternet_tpu.eval.evaluation import si_sdr_np
+    from deepfilternet_tpu.models import init_model, model_module
+    from deepfilternet_tpu.ops import Stft, erb_widths
+    from deepfilternet_tpu.ops.stft import istft_ri
+    from deepfilternet_tpu.train.loss import Loss
+    from deepfilternet_tpu.train.run import batch_to_arrays
+    from deepfilternet_tpu.train.trainer import (
+        init_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+
+    params, state, cfg, module = init_model()
+    _, _, mp_cls = model_module()
+    p = mp_cls()
+
+    cfgs = [Hdf5Cfg("clean.hdf5", 16), Hdf5Cfg("noise_flac.hdf5", 1)]
+    td = TdDataset("/root/reference/assets", cfgs, "train", max_len_s=3.0, seed=1)
+    fd = FdDataset(td)
+    dl = DataLoader(fd, batch_size=8, num_workers=6, overfit=True, drop_last=True)
+
+    loss_obj = Loss(
+        Stft(p.sr, p.fft_size, p.hop_size),
+        erb_widths(p.sr, p.fft_size, p.nb_erb, p.min_nb_freqs),
+        p.nb_df,
+        (p.lsnr_min, p.lsnr_max),
+    )
+    opt = make_optimizer()
+    step = jax.jit(make_train_step(module, cfg, loss_obj, opt))
+    ts = init_train_state(params, state, opt)
+
+    ckpt_dir = os.path.join(model_dir, "checkpoints")
+    step0 = 0
+    payload = read_cp(ckpt_dir, "latest")
+    if payload is not None:
+        try:
+            chex_ok = jax.tree.all(
+                jax.tree.map(lambda a, b: a.shape == b.shape,
+                             payload["params"], ts.params)
+            )
+        except ValueError:
+            chex_ok = False
+        if chex_ok:
+            ts = ts._replace(params=payload["params"], model_state=payload["state"])
+            if "opt_state" in payload:
+                ts = ts._replace(opt_state=jax.tree.map(jnp.asarray,
+                                                        payload["opt_state"]))
+            step0 = payload["epoch"]
+            print(f"resumed from step {step0}")
+        else:
+            print("checkpoint incompatible with current architecture; "
+                  "training from scratch")
+
+    lr_a = jnp.asarray(lr)
+    wd_a = jnp.asarray(0.05)
+    pool = list(dl.iter_epoch("train", 0))
+    arr_pool = [{k: jnp.asarray(v) for k, v in batch_to_arrays(b).items()}
+                for b in pool]
+    t0 = time.time()
+    losses = []
+    n = step0
+    while time.time() - t0 < budget_s:
+        for arrays in arr_pool:
+            ts, m = step(ts, arrays, lr_a, wd_a)
+            losses.append(float(m["loss"]))
+            n += 1
+    write_cp(ckpt_dir, ts.params, ts.model_state, n, opt_state=ts.opt_state,
+             keep_n=1, is_best=True)
+    print(f"steps {step0}->{n}, loss {np.mean(losses[:3]):.4f} -> "
+          f"{np.mean(losses[-3:]):.4f}")
+
+    stft_cfg = Stft(p.sr, p.fft_size, p.hop_size)
+
+    @jax.jit
+    def infer(params_, state_, noisy, fe, fs):
+        (spec_e, _, _, _), _ = module.forward(params_, state_, cfg, noisy, fe, fs)
+        return istft_ri(spec_e, stft_cfg)
+
+    batch = pool[0]
+    arrays = arr_pool[0]
+    enh = np.asarray(infer(ts.params, ts.model_state, arrays["noisy"],
+                           arrays["feat_erb"], arrays["feat_spec"]))
+    se, sn = [], []
+    d = p.fft_size - p.hop_size
+    for i in range(enh.shape[0]):
+        T = min(enh.shape[-1], batch.speech.shape[-1])
+        se.append(si_sdr_np(enh[i, d:T], batch.speech[i, 0, : T - d]))
+        sn.append(si_sdr_np(batch.noisy[i, 0, :T], batch.speech[i, 0, :T]))
+    print(f"train-set si_sdr noisy={np.mean(sn):.2f} dB -> "
+          f"enhanced={np.mean(se):.2f} dB")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], float(sys.argv[2]) if len(sys.argv) > 2 else 600.0)

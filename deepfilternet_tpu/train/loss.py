@@ -240,12 +240,25 @@ class Loss:
         self.erb_fb = jnp.asarray(
             erb_fb_matrices(tuple(erb_widths_), normalized=True, inverse=False)
         )
+        self.erb_inv_fb = jnp.asarray(
+            erb_fb_matrices(tuple(erb_widths_), normalized=True, inverse=True)
+        )
         c = config
         self.ml_f = c("factor", 0.0, float, section="MaskLoss")
         self.ml_mask = c("mask", "iam", str, section="MaskLoss")
         self.ml_gamma = c("gamma", 0.6, float, section="MaskLoss")
         self.ml_gamma_pred = c("gamma_pred", 0.6, float, section="MaskLoss")
         self.ml_f_under = c("f_under", 2.0, float, section="MaskLoss")
+        ml_max_freq = c("max_freq", 0.0, float, section="MaskLoss")
+        self.ml_f_max_idx = (
+            int(ml_max_freq / (stft_cfg.sr / stft_cfg.fft_size))
+            if ml_max_freq > 0 else None
+        )
+        # DfAlphaLoss (df/loss.py:297-342): penalize the DFN1/DFN2 alpha
+        # head for using DF in very noisy segments
+        self.dfalpha_f = c("factor", 0.0, float, section="DfAlphaLoss")
+        self.dfalpha_thresh = c("lsnr_thresh", -7.5, float, section="DfAlphaLoss")
+        self.dfalpha_min = c("lsnr_min", -10.0, float, section="DfAlphaLoss")
         self.sl_fm = c("factor_magnitude", 0.0, float, section="SpectralLoss")
         self.sl_fc = c("factor_complex", 0.0, float, section="SpectralLoss")
         self.sl_fu = c("factor_under", 1.0, float, section="SpectralLoss")
@@ -283,6 +296,7 @@ class Loss:
         enhanced: jnp.ndarray,
         mask: jnp.ndarray,
         lsnr: jnp.ndarray,
+        df_alpha: Optional[jnp.ndarray] = None,
     ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
         p = self.stft_cfg
         losses: Dict[str, jnp.ndarray] = {}
@@ -296,11 +310,26 @@ class Loss:
             (self.lsnr_range[0] - 1, self.lsnr_range[1] + 1),
         )
         if self.ml_f != 0:
-            losses["mask"] = mask_loss(
-                mask, clean, noisy, self.erb_fb,
-                mask=self.ml_mask, gamma=self.ml_gamma, gamma_pred=self.ml_gamma_pred,
-                f_under=self.ml_f_under, factor=self.ml_f,
-            )
+            if self.ml_mask == "spec":
+                # MaskSpecLoss (df/loss.py:280-294): apply the ERB mask to
+                # the noisy spectrum, spectral-loss against clean
+                gains = mask @ self.erb_inv_fb  # [B,T,F]
+                enh_m = noisy * gains
+                cl = clean
+                if self.ml_f_max_idx is not None:
+                    enh_m = enh_m[..., : self.ml_f_max_idx]
+                    cl = cl[..., : self.ml_f_max_idx]
+                losses["mask"] = spectral_loss(
+                    enh_m, cl, gamma=self.ml_gamma, factor_magnitude=self.ml_f,
+                    factor_complex=0.0,
+                )
+            else:
+                losses["mask"] = mask_loss(
+                    mask, clean, noisy, self.erb_fb,
+                    mask=self.ml_mask, gamma=self.ml_gamma,
+                    gamma_pred=self.ml_gamma_pred,
+                    f_under=self.ml_f_under, factor=self.ml_f,
+                )
         if self.sl_fm + self.sl_fc > 0:
             losses["spectral"] = spectral_loss(
                 enhanced, clean, gamma=self.sl_gamma, factor_magnitude=self.sl_fm,
@@ -323,6 +352,11 @@ class Loss:
                 losses["sdr"] = sdr_loss(enhanced_td, clean_td, factor=self.sdrl_f)
         if self.lsnr_f != 0:
             losses["lsnr"] = local_snr_loss(lsnr, lsnr_gt, factor=self.lsnr_f)
+        if self.dfalpha_f != 0 and df_alpha is not None:
+            losses["df_alpha"] = df_alpha_loss(
+                df_alpha, lsnr_gt, factor=self.dfalpha_f,
+                lsnr_thresh=self.dfalpha_thresh, lsnr_min=self.dfalpha_min,
+            )
         if self.asr_loss is not None:
             losses["asr"] = self.asr_loss(enhanced_td, clean_td)
         for v in losses.values():

@@ -95,15 +95,20 @@ def make_train_step(
 ) -> Callable:
     """Build the jittable training step for an offline-forward model module."""
 
+    # DFN1/DFN2 forwards return df_alpha as the 4th output (consumed by
+    # DfAlphaLoss, df/loss.py:297-342); DFN3's 4th output is df_coefs
+    returns_alpha = cfg.get("generation", 3) in (1, 2)
+
     def loss_fn(params, model_state, batch):
-        (spec_e, m, lsnr, _), new_state = module.forward(
+        (spec_e, m, lsnr, aux), new_state = module.forward(
             params, model_state, cfg,
             batch["noisy"], batch["feat_erb"], batch["feat_spec"], train=True,
         )
         clean = batch["clean"][..., 0] + 1j * batch["clean"][..., 1]
         noisy = batch["noisy"][..., 0] + 1j * batch["noisy"][..., 1]
         enh = spec_e[..., 0] + 1j * spec_e[..., 1]
-        total, parts = loss_obj(clean, noisy, enh, m, lsnr)
+        df_alpha = aux if returns_alpha else None
+        total, parts = loss_obj(clean, noisy, enh, m, lsnr, df_alpha=df_alpha)
         return total, (new_state, parts)
 
     def train_step(ts: TrainState, batch: Dict, lr: jnp.ndarray, wd: jnp.ndarray):

@@ -99,6 +99,69 @@ class TestLosses:
         assert np.isfinite(float(total))
         assert set(parts) == {"mask", "spectral", "mrsl", "lsnr"}
 
+    def test_df_alpha_loss_wired(self, rng):
+        """[DfAlphaLoss] factor toggles the alpha penalty in the aggregator
+        (df/loss.py:297-342); DFN1/DFN2 alpha output feeds it."""
+        config.reset()
+        config.set("factor", "1", section="DfAlphaLoss")
+        loss_obj = Loss(CFG, WIDTHS, 96, (-15, 35))
+        clean = _cplx(rng, (1, 20, 481)) * 0.01
+        noisy = clean + _cplx(rng, (1, 20, 481)) * 0.01
+        mask = jnp.full((1, 20, 32), 0.7)
+        lsnr = jnp.zeros((1, 20, 1))
+        alpha = jnp.full((1, 20, 1), 0.9)
+        total_a, parts_a = loss_obj(clean, noisy, noisy, mask, lsnr, df_alpha=alpha)
+        assert "df_alpha" in parts_a and float(parts_a["df_alpha"]) > 0
+        # without alpha output (DFN3) the term is absent
+        total_n, parts_n = loss_obj(clean, noisy, noisy, mask, lsnr)
+        assert "df_alpha" not in parts_n
+        assert float(total_a) != float(total_n)
+        # factor 0 disables it even when alpha is provided
+        config.reset()
+        loss_off = Loss(CFG, WIDTHS, 96, (-15, 35))
+        _, parts_off = loss_off(clean, noisy, noisy, mask, lsnr, df_alpha=alpha)
+        assert "df_alpha" not in parts_off
+
+    def test_mask_spec_loss_wired(self, rng):
+        """[MaskLoss] mask=spec selects MaskSpecLoss (df/loss.py:280-294):
+        spectral loss on the mask-applied noisy spectrum."""
+        clean = _cplx(rng, (1, 20, 481)) * 0.01
+        noisy = clean + _cplx(rng, (1, 20, 481)) * 0.005
+        lsnr = jnp.zeros((1, 20, 1))
+
+        config.reset()
+        config.set("factor", "1", section="MaskLoss")
+        config.set("mask", "spec", section="MaskLoss")
+        loss_spec = Loss(CFG, WIDTHS, 96, (-15, 35))
+        # a perfect-reconstruction mask (all ones, noisy==clean) -> ~0 loss
+        _, parts_one = loss_spec(clean, clean, clean,
+                                 jnp.ones((1, 20, 32)), lsnr)
+        assert float(parts_one["mask"]) < 1e-6
+        _, parts_half = loss_spec(clean, clean, clean,
+                                  jnp.full((1, 20, 32), 0.5), lsnr)
+        assert float(parts_half["mask"]) > float(parts_one["mask"])
+        # differs from the default iam MaskLoss value
+        config.reset()
+        config.set("factor", "1", section="MaskLoss")
+        loss_iam = Loss(CFG, WIDTHS, 96, (-15, 35))
+        _, parts_iam = loss_iam(clean, noisy, clean,
+                                jnp.full((1, 20, 32), 0.5), lsnr)
+        _, parts_spec = loss_spec(clean, noisy, clean,
+                                  jnp.full((1, 20, 32), 0.5), lsnr)
+        assert float(parts_iam["mask"]) != float(parts_spec["mask"])
+
+    def test_mask_spec_loss_max_freq(self, rng):
+        config.reset()
+        config.set("factor", "1", section="MaskLoss")
+        config.set("mask", "spec", section="MaskLoss")
+        config.set("max_freq", "12000", section="MaskLoss")
+        loss_obj = Loss(CFG, WIDTHS, 96, (-15, 35))
+        assert loss_obj.ml_f_max_idx == int(12000 / (48000 / 960))
+        clean = _cplx(rng, (1, 20, 481)) * 0.01
+        lsnr = jnp.zeros((1, 20, 1))
+        _, parts = loss_obj(clean, clean, clean, jnp.ones((1, 20, 32)), lsnr)
+        assert np.isfinite(float(parts["mask"]))
+
 
 class TestLrScheduler:
     def test_warmup_and_decay(self):
@@ -145,6 +208,35 @@ class TestTrainStep:
             assert bool(metrics["finite"])
             losses.append(float(metrics["loss"]))
         assert losses[-1] < losses[0], losses
+
+    def test_train_step_threads_df_alpha(self, rng):
+        """DFN1/DFN2 train steps feed the alpha head into DfAlphaLoss."""
+        config.reset()
+        config.set("factor_magnitude", "100", section="SpectralLoss")
+        config.set("factor", "1", section="DfAlphaLoss")
+        config.set("GRU_TYPE", "squeeze", section="deepfilternet")
+        config.set("DF_OUTPUT_LAYER", "groupedlinear", section="deepfilternet")
+        config.set("DFOP_METHOD", "df", section="deepfilternet")
+        config.set("DF_N_ITER", "1", section="deepfilternet")
+        from deepfilternet_tpu.models import dfnet2
+
+        params, state, cfg = dfnet2.init_dfnet2(jax.random.PRNGKey(0))
+        loss_obj = Loss(CFG, WIDTHS, cfg["nb_df"], (-15, 35))
+        optimizer = make_optimizer()
+        step = jax.jit(make_train_step(dfnet2, cfg, loss_obj, optimizer))
+        ts = init_train_state(params, state, optimizer)
+        b, t = 1, 20
+        batch = {
+            "noisy": jnp.asarray(rng.standard_normal((b, t, 481, 2)).astype(np.float32) * 0.1),
+            "clean": jnp.asarray(rng.standard_normal((b, t, 481, 2)).astype(np.float32) * 0.05),
+            "feat_erb": jnp.asarray(rng.standard_normal((b, t, 32)).astype(np.float32)),
+            "feat_spec": jnp.asarray(rng.standard_normal((b, t, 96, 2)).astype(np.float32)),
+        }
+        ts, metrics = step(ts, batch, jnp.asarray(1e-3), jnp.asarray(0.05))
+        assert "loss_df_alpha" in metrics or any(
+            "df_alpha" in k for k in metrics
+        ), sorted(metrics)
+        config.reset()
 
     def test_nan_guard_skips_update(self, rng):
         config.reset()
