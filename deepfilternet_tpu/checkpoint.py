@@ -175,10 +175,12 @@ _DFN3_GRU_MAP = {
 
 
 def _convert_conv_block(sd: Dict[str, np.ndarray], prefix: str) -> Tuple[Dict, Dict]:
-    """Classify a reference Conv(Transpose)2dNormAct nn.Sequential's tensors
-    by shape: main conv (4D, spatial kernel or in_ch mismatch), optional
-    pointwise (4D [O,O,1,1] appearing after the main conv), batchnorm
-    (weight+bias+running stats)."""
+    """Classify a reference conv block's tensors by SHAPE (covers both the
+    numerically-indexed Conv2dNormAct Sequentials of DFN2/3 and the
+    name-keyed convkxf Sequentials of DFN1, df/modules.py:49-126/129-193):
+    the extra pointwise conv is the square 1x1 [O,O,1,1]; the main
+    (possibly grouped/depthwise or transposed) conv is the other 4D
+    weight; batchnorm is identified by its running stats."""
     keys = sorted(
         (k for k in sd if k.startswith(prefix + ".")),
         key=lambda k: [int(p) if p.isdigit() else p for p in k.split(".")],
@@ -188,9 +190,19 @@ def _convert_conv_block(sd: Dict[str, np.ndarray], prefix: str) -> Tuple[Dict, D
     convs = [k for k in keys if k.endswith(".weight") and sd[k].ndim == 4]
     if not convs:
         raise KeyError(f"No conv weights under {prefix}")
-    params["w"] = np.asarray(sd[convs[0]], np.float32)
-    if len(convs) > 1:
-        params["pw"] = np.asarray(sd[convs[1]], np.float32)
+    if len(convs) == 1:
+        main, pw = convs[0], None
+    else:
+        assert len(convs) == 2, f"{prefix}: expected at most 2 conv weights"
+        sq = [k for k in convs
+              if sd[k].shape[0] == sd[k].shape[1] and sd[k].shape[2:] == (1, 1)]
+        a, b = convs
+        pw = sq[-1] if sq else None
+        assert pw is not None, f"{prefix}: cannot identify pointwise conv"
+        main = a if pw == b else b
+    params["w"] = np.asarray(sd[main], np.float32)
+    if pw is not None:
+        params["pw"] = np.asarray(sd[pw], np.float32)
     for k in keys:
         if k.endswith(".bias") and sd[k].ndim == 1 and k.replace(".bias", ".running_mean") not in sd:
             # conv bias (BN bias handled below)
@@ -270,6 +282,130 @@ def convert_dfn3_state_dict(sd: Dict[str, np.ndarray]) -> Tuple[Dict, Dict]:
     }
     if "df_dec.df_skip.weight" in sd:
         params["df_skip"] = {"w": np.asarray(sd["df_dec.df_skip.weight"], np.float32)}
+    return _to_jax(params), _to_jax(state)
+
+
+def _convert_grouped_linear_shuffle(sd: Dict[str, np.ndarray], prefix: str) -> Dict:
+    """Reference GroupedLinear (df/modules.py:826-856): per-group nn.Linear
+    children at `{prefix}.layers.{i}`."""
+    layers = []
+    i = 0
+    while f"{prefix}.layers.{i}.weight" in sd:
+        layer = {"w": np.asarray(sd[f"{prefix}.layers.{i}.weight"], np.float32)}
+        if f"{prefix}.layers.{i}.bias" in sd:
+            layer["b"] = np.asarray(sd[f"{prefix}.layers.{i}.bias"], np.float32)
+        layers.append(layer)
+        i += 1
+    if not layers:
+        raise KeyError(f"No GroupedLinear weights under {prefix}")
+    return {"layers": layers}
+
+
+def _convert_grouped_gru(sd: Dict[str, np.ndarray], prefix: str) -> Dict:
+    """Reference GroupedGRU (df/modules.py:577-660): per-layer
+    GroupedGRULayer at `{prefix}.grus.{li}` holding per-group 1-layer torch
+    GRUs at `.layers.{gi}`."""
+    layers = []
+    li = 0
+    while f"{prefix}.grus.{li}.layers.0.weight_ih_l0" in sd:
+        gs = []
+        gi = 0
+        while f"{prefix}.grus.{li}.layers.{gi}.weight_ih_l0" in sd:
+            gs.append(_convert_gru(sd, f"{prefix}.grus.{li}.layers.{gi}"))
+            gi += 1
+        layers.append(gs)
+        li += 1
+    if not layers:
+        raise KeyError(f"No GroupedGRU weights under {prefix}")
+    return {"layers": layers}
+
+
+def _convert_linear(sd: Dict[str, np.ndarray], prefix: str) -> Dict:
+    out = {"w": np.asarray(sd[f"{prefix}.weight"], np.float32)}
+    if f"{prefix}.bias" in sd:
+        out["b"] = np.asarray(sd[f"{prefix}.bias"], np.float32)
+    return out
+
+
+_DFN2_CONV_MAP = _DFN3_CONV_MAP  # identical module paths (deepfilternet2.py)
+
+
+def convert_dfn2_state_dict(sd: Dict[str, np.ndarray]) -> Tuple[Dict, Dict]:
+    """Convert a reference DeepFilterNet2 `DfNet.state_dict()`
+    (deepfilternet2.py:419-505) into (params, state) for models.dfnet2.
+    Handles both gru_type variants: "grouped" (GroupedGRU/GroupedLinear)
+    and "squeeze" (SqueezedGRU/GroupedLinearEinsum); the variant is
+    auto-detected from the key names."""
+    sd = {k: (v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v))
+          for k, v in sd.items()}
+    params: Dict[str, Any] = {}
+    state: Dict[str, Any] = {}
+    for ours, theirs in _DFN2_CONV_MAP.items():
+        p, s = _convert_conv_block(sd, theirs)
+        params[ours] = p
+        if s:
+            state[ours] = s
+    grouped = "enc.emb_gru.grus.0.layers.0.weight_ih_l0" in sd
+    if grouped:
+        params["df_fc_emb"] = _convert_grouped_linear_shuffle(sd, "enc.df_fc_emb")
+        params["enc_emb_gru"] = _convert_grouped_gru(sd, "enc.emb_gru")
+        params["dec_emb_gru"] = _convert_grouped_gru(sd, "erb_dec.emb_gru")
+        params["dec_fc_emb"] = _convert_grouped_linear_shuffle(sd, "erb_dec.fc_emb.0")
+        params["df_gru"] = _convert_grouped_gru(sd, "df_dec.df_gru")
+    else:
+        params["df_fc_emb"] = {
+            "w": np.asarray(sd["enc.df_fc_emb.0.weight"], np.float32)
+        }
+        params["enc_emb_gru"] = _convert_squeezed_gru(sd, "enc.emb_gru")
+        params["dec_emb_gru"] = _convert_squeezed_gru(sd, "erb_dec.emb_gru")
+        params["df_gru"] = _convert_squeezed_gru(sd, "df_dec.df_gru")
+    params["lsnr_fc"] = _convert_linear(sd, "enc.lsnr_fc.0")
+    params["df_out"] = _convert_linear(sd, "df_dec.df_out.0")
+    params["df_fc_a"] = _convert_linear(sd, "df_dec.df_fc_a.0")
+    if "df_dec.df_skip.weight" in sd:
+        params["df_skip"] = {"w": np.asarray(sd["df_dec.df_skip.weight"], np.float32)}
+    return _to_jax(params), _to_jax(state)
+
+
+_DFN1_CONV_MAP = {
+    "erb_conv0": "enc.erb_conv0",
+    "erb_conv1": "enc.erb_conv1",
+    "erb_conv2": "enc.erb_conv2",
+    "erb_conv3": "enc.erb_conv3",
+    "df_conv0": "enc.df_conv0",
+    "df_conv1": "enc.df_conv1",
+    "conv3p": "erb_dec.conv3p",
+    "convt3": "erb_dec.convt3",
+    "conv2p": "erb_dec.conv2p",
+    "convt2": "erb_dec.convt2",
+    "conv1p": "erb_dec.conv1p",
+    "convt1": "erb_dec.convt1",
+    "conv0p": "erb_dec.conv0p",
+    "conv0_out": "erb_dec.conv0_out",
+    "df_convp": "df_dec.df_convp",
+}
+
+
+def convert_dfn1_state_dict(sd: Dict[str, np.ndarray]) -> Tuple[Dict, Dict]:
+    """Convert a reference DeepFilterNet (v1) `DfNet.state_dict()`
+    (deepfilternet.py:232-279; convkxf blocks, GroupedGRU/GroupedLinear
+    heads) into (params, state) for models.dfnet1."""
+    sd = {k: (v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v))
+          for k, v in sd.items()}
+    params: Dict[str, Any] = {}
+    state: Dict[str, Any] = {}
+    for ours, theirs in _DFN1_CONV_MAP.items():
+        p, s = _convert_conv_block(sd, theirs)
+        params[ours] = p
+        if s:
+            state[ours] = s
+    params["df_fc_emb"] = _convert_grouped_linear_shuffle(sd, "enc.df_fc_emb")
+    params["enc_emb_gru"] = _convert_grouped_gru(sd, "enc.emb_gru")
+    params["lsnr_fc"] = _convert_linear(sd, "enc.lsnr_fc.0")
+    params["dec_fc_emb"] = _convert_grouped_linear_shuffle(sd, "erb_dec.fc_emb.0")
+    params["df_gru"] = _convert_grouped_gru(sd, "df_dec.df_gru")
+    params["df_out"] = _convert_linear(sd, "df_dec.df_fc_out.0")
+    params["df_fc_a"] = _convert_linear(sd, "df_dec.df_fc_a.0")
     return _to_jax(params), _to_jax(state)
 
 

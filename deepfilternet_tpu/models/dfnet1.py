@@ -130,8 +130,11 @@ def init_dfnet1(key, p: Optional[ModelParams1] = None) -> Tuple[Dict, Dict, Dict
     add_kxf("erb_conv3", ch * wf**2, ch * wf**2, k_enc, fstride=1, depthwise=p.conv_depthwise)
     add_kxf("df_conv0", 2, ch, k0, fstride=1, depthwise=p.conv_depthwise)
     add_kxf("df_conv1", ch, ch * wf**1, k_enc, depthwise=p.conv_depthwise)
+    # reference enc.df_fc_emb is GroupedLinear with its signature default
+    # shuffle=True (deepfilternet.py:92-94, modules.py:832) — degenerate
+    # no-op at groups==1, but must shuffle for lin_groups>1
     params["df_fc_emb"], L["df_fc_emb"] = init_grouped_linear_shuffle(
-        next(keys), ch * p.nb_df // 2, emb_dim, groups=p.lin_groups, shuffle=False
+        next(keys), ch * p.nb_df // 2, emb_dim, groups=p.lin_groups, shuffle=True
     )
     params["enc_emb_gru"], L["enc_emb_gru"] = init_grouped_gru(
         next(keys), emb_dim, p.emb_hidden_dim, num_layers=p.emb_num_layers,

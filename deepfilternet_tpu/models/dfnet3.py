@@ -176,7 +176,10 @@ def init_dfnet3(key, p: Optional[ModelParams3] = None) -> Tuple[Dict, Dict, Dict
         p.df_hidden_dim,
         output_size=None,
         num_layers=p.df_num_layers,
-        linear_groups=p.lin_groups,
+        # the reference DfDecoder omits linear_groups, inheriting the
+        # SqueezedGRU_S signature default of 8 (df/modules.py:673,
+        # deepfilternet3.py:297-305) — NOT p.lin_groups
+        linear_groups=8,
         skip=None,
         linear_act="relu",
     )
@@ -207,6 +210,7 @@ def init_dfnet3(key, p: Optional[ModelParams3] = None) -> Tuple[Dict, Dict, Dict
         lsnr_max=p.lsnr_max,
         mask_pf=p.mask_pf,
         pf_beta=p.pf_beta,
+        lsnr_dropout=p.lsnr_dropout,
         freq_bins=p.fft_size // 2 + 1,
         erb_widths=widths,
         erb_inv_fb=np.asarray(erb_fb_matrices(widths, normalized=True, inverse=True)),
@@ -326,6 +330,15 @@ def forward(
     new_state = {**state, **ns1, **ns2, **ns3}
 
     mask = m[:, 0]  # [B,T,E]
+    if train and cfg.get("lsnr_dropout", False):
+        # LSNR frame dropout (deepfilternet3.py:413-424): during training,
+        # frames predicted quieter than -10 dB LSNR contribute zero mask
+        # and zero DF coefficients. The reference gathers the active
+        # frames and runs the decoders only on them; batched-TPU
+        # equivalent: compute everywhere, select with a frame mask.
+        active = (lsnr[..., 0] > -10.0).astype(mask.dtype)  # [B,T]
+        mask = mask * active[:, :, None]
+        coefs = coefs * active[:, :, None, None]
     spec_c = spec[..., 0] + 1j * spec[..., 1]  # [B,T,F]
     # ERB mask -> bin gains -> masked spectrum
     bin_gains = mask @ jnp.asarray(cfg["erb_inv_fb"])  # [B,T,F]

@@ -106,12 +106,11 @@ def batchnorm_apply(
 
 
 def _conv_groups(in_ch: int, out_ch: int, kernel: Tuple[int, int], separable: bool) -> int:
-    groups = math.gcd(in_ch, out_ch) if separable else 1
-    if groups == 1 or max(kernel) == 1:
-        groups = 1 if not separable else groups
-    if max(kernel) == 1:
-        groups = 1
-    return groups
+    """Reference Conv2dNormAct group rule (df/modules.py:49-67): separable
+    means groups = gcd(in, out) on the main conv; a kernel-1 conv KEEPS its
+    groups (it becomes a grouped/depthwise 1x1) and only the extra
+    pointwise conv is suppressed (handled by has_pw at the call site)."""
+    return math.gcd(in_ch, out_ch) if separable else 1
 
 
 def init_conv2d_norm_act(

@@ -13,6 +13,7 @@ import jax
 import jax.numpy as jnp
 
 from deepfilternet_tpu.config import config
+from deepfilternet_tpu.models import dfnet3
 from deepfilternet_tpu.models.dfnet3 import (
     ModelParams3,
     forward,
@@ -161,3 +162,48 @@ def test_forward_chunk_matches_cell(ktp, rng):
         np.testing.assert_allclose(np.concatenate(outs, 1), ref, atol=2e-5)
     finally:
         config.reset()
+
+
+class TestLsnrDropout:
+    """LSNR frame dropout (deepfilternet3.py:413-424): with LSNR_DROPOUT
+    and train=True, frames with predicted lsnr <= -10 dB contribute zero
+    mask and zero DF coefficients (compute-and-select TPU equivalent)."""
+
+    def _make(self, lsnr_bias):
+        config.reset()
+        config.set("LSNR_DROPOUT", "True", section="deepfilternet")
+        params, state, cfg = init_dfnet3(jax.random.PRNGKey(0))
+        # pin the lsnr head: sigmoid(bias) scaled to [-15, 35]
+        params["lsnr_fc"]["w"] = jnp.zeros_like(params["lsnr_fc"]["w"])
+        params["lsnr_fc"]["b"] = jnp.full_like(params["lsnr_fc"]["b"], lsnr_bias)
+        return params, state, cfg
+
+    def test_all_frames_dropped_when_lsnr_low(self, rng):
+        try:
+            params, state, cfg = self._make(-12.0)  # lsnr ~= -15 dB
+            spec, fe, fs = _rand_inputs(rng, 1, 8, cfg)
+            (spec_e, m, lsnr, _), _ = forward(
+                params, state, cfg, spec, fe, fs, train=True
+            )
+            assert float(np.max(lsnr)) < -10.0
+            np.testing.assert_allclose(np.asarray(m), 0.0)
+            np.testing.assert_allclose(np.asarray(spec_e), 0.0, atol=1e-7)
+        finally:
+            config.reset()
+
+    def test_no_dropout_when_lsnr_high_or_eval(self, rng):
+        try:
+            params, state, cfg = self._make(12.0)  # lsnr ~= 35 dB
+            spec, fe, fs = _rand_inputs(rng, 1, 8, cfg)
+            (se_train, m_train, _, _), _ = forward(
+                params, state, cfg, spec, fe, fs, train=True
+            )
+            assert float(np.abs(np.asarray(m_train)).max()) > 0
+            # eval ignores lsnr_dropout entirely even with low lsnr
+            params2, state2, cfg2 = self._make(-12.0)
+            (se_eval, m_eval, _, _), _ = forward(
+                params2, state2, cfg2, spec, fe, fs, train=False
+            )
+            assert float(np.abs(np.asarray(m_eval)).max()) > 0
+        finally:
+            config.reset()
