@@ -5,10 +5,12 @@ The reference embeds a per-process Rust runtime into audio hosts; a TPU
 chip is a shared accelerator, so the equivalent surface is a server: audio
 clients connect over TCP (or a Unix socket), claim a stream slot, and
 exchange 10 ms hops. Per-stream state (STFT memories, norm trackers, GRU
-hiddens, DF ring) lives server-side in a slot pool; frames from all active
-clients are batched into ONE TPU call per tick — the dynamic-batching
-design that converts the chip's aggregate RTF into many concurrent
-realtime streams.
+hiddens, DF ring) lives server-side in a fixed `max_streams` slot pool; a
+single batcher thread gathers every pending hop each tick into ONE TPU
+dispatch (`StreamServer._batch_loop`) and restores idle slots' carry
+afterwards — the dynamic-batching design that converts the chip's
+aggregate RTF into many concurrent realtime streams. `server.dispatches`
+vs `server.frames_processed` exposes the achieved batching factor.
 
 Wire protocol (little-endian):
     client -> server:  u32 magic 0x44465331 ("DFS1"), then per frame:
@@ -26,18 +28,43 @@ import argparse
 import socket
 import struct
 import threading
-from typing import Optional
+import time
+from collections import deque
+from typing import Dict, Optional
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 MAGIC = 0x44465331
 
 
+class _Req:
+    """One pending hop for one slot."""
+
+    __slots__ = ("audio", "out", "event")
+
+    def __init__(self, audio: np.ndarray):
+        self.audio = audio
+        self.out: Optional[np.ndarray] = None
+        self.event = threading.Event()
+
+
 class StreamServer:
+    """Dynamic-batching stream server over a fixed slot pool.
+
+    A single batcher thread owns the [max_streams]-wide carry. Connection
+    handlers enqueue one 10 ms hop per tick; each tick gathers every
+    pending hop into ONE `rt.process` TPU dispatch and fans the outputs
+    back out. Idle slots participate in the dispatch with zero audio but
+    their carry entries are restored afterwards (jnp.where select), so a
+    silent client's stream state never advances.
+    """
+
     def __init__(self, model, df_state, host="127.0.0.1", port=7860,
-                 runtime_params=None):
+                 runtime_params=None, max_streams: int = 16,
+                 batch_window_ms: float = 1.0):
         from deepfilternet_tpu.streaming import RuntimeParams, StreamingRuntime
 
         self.rt = StreamingRuntime(model, df_state,
@@ -45,11 +72,51 @@ class StreamServer:
         self.hop = df_state.hop_size
         self.host = host
         self.port = port
+        self.max_streams = max_streams
+        self.batch_window = batch_window_ms / 1e3
         self._sock: Optional[socket.socket] = None
         self._threads = []
         self._stop = threading.Event()
-        # one jitted program per stream count; per-connection S=1 slots
-        self._lock = threading.Lock()
+
+        self._carry = self.rt.init(max_streams)
+        self._slot_init = self.rt.init(1)
+        self._free = deque(range(max_streams))
+        self._pending: Dict[int, _Req] = {}
+        self._cv = threading.Condition()
+        # observability: one dispatch should cover many client frames
+        self.dispatches = 0
+        self.frames_processed = 0
+
+        # Not every carry leaf is slot-major (GRU hiddens are [L, S, H]):
+        # locate each leaf's stream axis by diffing two init shapes.
+        a3, a4 = jax.tree.leaves(self.rt.init(3)), jax.tree.leaves(self.rt.init(4))
+        self._stream_axes = []
+        for x, y in zip(a3, a4):
+            diff = [i for i, (p, q) in enumerate(zip(x.shape, y.shape)) if p != q]
+            assert len(diff) == 1, (x.shape, y.shape)
+            self._stream_axes.append(diff[0])
+
+        def _reset_slot(carry, init1, slot):
+            flat, td = jax.tree.flatten(carry)
+            init_flat = jax.tree.leaves(init1)
+            out = []
+            for c, i, ax in zip(flat, init_flat, self._stream_axes):
+                cm = jnp.moveaxis(c, ax, 0)
+                im = jnp.moveaxis(i, ax, 0)
+                out.append(jnp.moveaxis(cm.at[slot].set(im[0]), 0, ax))
+            return jax.tree.unflatten(td, out)
+
+        def _select_active(new, old, mask):
+            new_flat, td = jax.tree.flatten(new)
+            old_flat = jax.tree.leaves(old)
+            out = []
+            for n, o, ax in zip(new_flat, old_flat, self._stream_axes):
+                m = mask.reshape((1,) * ax + (-1,) + (1,) * (n.ndim - ax - 1))
+                out.append(jnp.where(m, n, o))
+            return jax.tree.unflatten(td, out)
+
+        self._reset_slot = jax.jit(_reset_slot)
+        self._select_active = jax.jit(_select_active)
 
     # -- protocol ------------------------------------------------------------
 
@@ -63,12 +130,79 @@ class StreamServer:
             buf += chunk
         return buf
 
+    # -- slot pool -----------------------------------------------------------
+
+    def _alloc_slot(self) -> Optional[int]:
+        with self._cv:
+            if not self._free:
+                return None
+            slot = self._free.popleft()
+            self._carry = self._reset_slot(
+                self._carry, self._slot_init, jnp.asarray(slot)
+            )
+            return slot
+
+    def _release_slot(self, slot: int):
+        with self._cv:
+            self._pending.pop(slot, None)
+            self._free.append(slot)
+
+    def _submit(self, slot: int, hop_audio: np.ndarray) -> np.ndarray:
+        req = _Req(hop_audio)
+        with self._cv:
+            self._pending[slot] = req
+            self._cv.notify_all()
+        while not req.event.wait(1.0):
+            if self._stop.is_set():
+                raise RuntimeError("server stopping")
+        return req.out  # type: ignore[return-value]
+
+    # -- batcher tick loop -----------------------------------------------------
+
+    def _batch_loop(self):
+        S, hop = self.max_streams, self.hop
+        while not self._stop.is_set():
+            with self._cv:
+                if not self._pending:
+                    self._cv.wait(0.05)
+                    if not self._pending:
+                        continue
+            # short coalescing window so concurrent clients land in one tick
+            if self.batch_window > 0:
+                time.sleep(self.batch_window)
+            with self._cv:
+                batch, self._pending = self._pending, {}
+            if not batch:
+                continue
+            x = np.zeros((S, hop), np.float32)
+            mask = np.zeros((S,), bool)
+            for slot, req in batch.items():
+                x[slot] = req.audio
+                mask[slot] = True
+            new_carry, out = self.rt.process(self._carry, jnp.asarray(x))
+            with self._cv:
+                self._carry = self._select_active(
+                    new_carry, self._carry, jnp.asarray(mask)
+                )
+            out_np = np.asarray(out, np.float32)
+            self.dispatches += 1
+            self.frames_processed += len(batch)
+            for slot, req in batch.items():
+                req.out = out_np[slot]
+                req.event.set()
+
+    # -- connection handler ----------------------------------------------------
+
     def _handle(self, conn: socket.socket):
+        slot = None
         try:
             hdr = self._recv_exact(conn, 4)
             if hdr is None or struct.unpack("<I", hdr)[0] != MAGIC:
                 return
-            carry = self.rt.init(1)
+            slot = self._alloc_slot()
+            if slot is None:
+                conn.sendall(struct.pack("<I", 0))  # pool exhausted
+                return
             while not self._stop.is_set():
                 ln = self._recv_exact(conn, 4)
                 if ln is None:
@@ -82,12 +216,16 @@ class StreamServer:
                 data = self._recv_exact(conn, n * 4)
                 if data is None:
                     break
-                audio = np.frombuffer(data, "<f4").reshape(1, n)
-                with self._lock:
-                    carry, out = self.rt.process(carry, jnp.asarray(audio))
-                out_np = np.asarray(out, np.float32)
+                audio = np.frombuffer(data, "<f4")
+                outs = [
+                    self._submit(slot, audio[i : i + self.hop])
+                    for i in range(0, n, self.hop)
+                ]
+                out_np = np.concatenate(outs)
                 conn.sendall(struct.pack("<I", out_np.size) + out_np.tobytes())
         finally:
+            if slot is not None:
+                self._release_slot(slot)
             conn.close()
 
     # -- lifecycle -----------------------------------------------------------
@@ -95,9 +233,10 @@ class StreamServer:
     def start(self):
         self._sock = socket.create_server((self.host, self.port))
         self._sock.settimeout(0.5)
-        t = threading.Thread(target=self._accept_loop, daemon=True)
-        t.start()
-        self._threads.append(t)
+        for target in (self._accept_loop, self._batch_loop):
+            t = threading.Thread(target=target, daemon=True)
+            t.start()
+            self._threads.append(t)
         return self
 
     def _accept_loop(self):
@@ -114,6 +253,8 @@ class StreamServer:
 
     def stop(self):
         self._stop.set()
+        with self._cv:
+            self._cv.notify_all()
         if self._sock is not None:
             self._sock.close()
 
@@ -151,11 +292,15 @@ def main(argv=None):
     parser.add_argument("--model-base-dir", "-m", default=None)
     parser.add_argument("--pf", action="store_true")
     parser.add_argument("--atten-lim", type=float, default=0.0)
+    parser.add_argument("--max-streams", type=int, default=16)
+    parser.add_argument("--batch-window-ms", type=float, default=1.0)
     args = parser.parse_args(argv)
     model, df_state, _ = init_df(args.model_base_dir, post_filter=args.pf)
     rp = RuntimeParams(atten_lim_db=args.atten_lim,
                        post_filter_beta=0.02 if args.pf else 0.0)
-    server = StreamServer(model, df_state, args.host, args.port, rp)
+    server = StreamServer(model, df_state, args.host, args.port, rp,
+                          max_streams=args.max_streams,
+                          batch_window_ms=args.batch_window_ms)
     server.start()
     print(f"Serving on {args.host}:{args.port} (frame = {df_state.hop_size} samples)")
     try:

@@ -61,6 +61,103 @@ class TestStreamServer:
         assert o2.shape == o1a.shape
 
 
+class TestDynamicBatching:
+    def test_concurrent_clients_batch_into_one_dispatch(self, rng):
+        """N=4 concurrent clients -> their hops coalesce into shared TPU
+        dispatches (dispatches < total frames), and each stream's output
+        equals a fresh per-connection run (VERDICT round-1 item 5)."""
+        import threading
+
+        model, df_state, _ = init_df()
+        srv = StreamServer(model, df_state, port=0, max_streams=8,
+                           batch_window_ms=120.0)
+        srv.start()
+        port = srv._sock.getsockname()[1]
+        try:
+            n_clients, n_frames = 4, 3
+            audios = [
+                rng.standard_normal((480 * n_frames,)).astype(np.float32) * 0.1
+                for _ in range(n_clients)
+            ]
+            outs = [None] * n_clients
+
+            def run(i):
+                c = StreamClient(port=port)
+                got = [c.process_frame(audios[i][k * 480 : (k + 1) * 480])
+                       for k in range(n_frames)]
+                c.close()
+                outs[i] = np.concatenate(got)
+
+            threads = [threading.Thread(target=run, args=(i,))
+                       for i in range(n_clients)]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join(120)
+            total_frames = n_clients * n_frames
+            assert srv.frames_processed == total_frames
+            # with a 120 ms coalescing window all 4 clients share each tick
+            assert srv.dispatches <= n_frames + 1, (
+                srv.dispatches, srv.frames_processed
+            )
+
+            rt = StreamingRuntime(model, df_state)
+            for i in range(n_clients):
+                carry = rt.init(1)
+                _, expected = rt.process(carry, jnp.asarray(audios[i][None]))
+                np.testing.assert_allclose(
+                    outs[i], np.asarray(expected)[0], atol=1e-5,
+                    err_msg=f"client {i}",
+                )
+        finally:
+            srv.stop()
+
+    def test_idle_slots_state_frozen(self, rng):
+        """A client that pauses while another streams must see NO state
+        advance: its next frame matches an uninterrupted run."""
+        model, df_state, _ = init_df()
+        srv = StreamServer(model, df_state, port=0, max_streams=4,
+                           batch_window_ms=0.0)
+        srv.start()
+        port = srv._sock.getsockname()[1]
+        try:
+            a = rng.standard_normal((480 * 4,)).astype(np.float32) * 0.1
+            b = rng.standard_normal((480 * 6,)).astype(np.float32) * 0.1
+            c1 = StreamClient(port=port)
+            c2 = StreamClient(port=port)
+            o1a = c1.process_frame(a[: 480 * 2])
+            # c2 streams alone for a while; c1 is idle
+            for k in range(6):
+                c2.process_frame(b[k * 480 : (k + 1) * 480])
+            o1b = c1.process_frame(a[480 * 2 :])
+            c1.close()
+            c2.close()
+            rt = StreamingRuntime(model, df_state)
+            carry = rt.init(1)
+            _, expected = rt.process(carry, jnp.asarray(a[None]))
+            got = np.concatenate([o1a, o1b])
+            np.testing.assert_allclose(got, np.asarray(expected)[0], atol=1e-5)
+        finally:
+            srv.stop()
+
+    def test_pool_exhaustion_rejected(self):
+        model, df_state, _ = init_df()
+        srv = StreamServer(model, df_state, port=0, max_streams=1,
+                           batch_window_ms=0.0)
+        srv.start()
+        port = srv._sock.getsockname()[1]
+        try:
+            c1 = StreamClient(port=port)
+            c1.process_frame(np.zeros(480, np.float32))
+            c2 = StreamClient(port=port)
+            out = c2.process_frame(np.zeros(480, np.float32))
+            assert out.size == 0  # rejected: no free slot
+            c1.close()
+            c2.sock.close()
+        finally:
+            srv.stop()
+
+
 class TestCClient:
     def test_c_client_round_trip(self, server, rng, tmp_path):
         """Compile the native C client and stream frames through the server,
