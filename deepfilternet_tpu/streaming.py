@@ -209,14 +209,27 @@ class StreamingRuntime:
 
         # multichannel mask reduction (tract.rs:117-193 NONE/MAX/MEAN):
         # streams are (stream, channel) groups; reduce over the channel axis
-        # and re-apply the shared mask to every channel's spectrum.
+        # and re-apply the shared mask to every channel's spectrum. Only the
+        # ERB-mask stage is shared — the DF stage stays per-channel (the
+        # reference applies reduced gains to every channel's spectrum,
+        # tract.rs:558-567, then overwrites the low nb_df bins with the
+        # per-channel deep-filter output, tract.rs:588-597).
         if rt.reduce_mask != "none" and rt.n_channels > 1:
             c = rt.n_channels
+            nb_df = cfg["nb_df"]
             mg = mask.reshape(-1, c, *mask.shape[1:])
             mg = jnp.max(mg, axis=1) if rt.reduce_mask == "max" else jnp.mean(mg, axis=1)
             mask = jnp.repeat(mg, c, axis=0)
             bin_gains = mask @ jnp.asarray(cfg["erb_inv_fb"])
-            spec_e = (spec * bin_gains).astype(jnp.complex64)
+            upper = (spec * bin_gains)[..., nb_df:]
+            if cfg.get("mask_pf"):
+                from deepfilternet_tpu.ops.postfilter import post_filter
+
+                upper = post_filter(spec[..., nb_df:], upper,
+                                    beta=cfg.get("pf_beta", 0.02))
+            spec_e = jnp.concatenate(
+                [spec_e[..., :nb_df], upper.astype(jnp.complex64)], axis=-1
+            )
 
         # LSNR-gated stage selection (tract.rs:658-672): batched inference
         # computes all stages and selects per stream/frame.
@@ -291,10 +304,10 @@ class ChunkedStreamingRuntime(StreamingRuntime):
 
     def __init__(self, *args, chunk_frames: int = 20, **kwargs):
         super().__init__(*args, **kwargs)
-        if self.dtype != jnp.float32 or self.use_pallas:
+        if self.use_pallas:
             raise NotImplementedError(
-                "ChunkedStreamingRuntime supports float32 without the pallas "
-                "frontend; use StreamingRuntime for dtype/use_pallas options"
+                "ChunkedStreamingRuntime batches the frontend itself; the "
+                "per-frame pallas frontend only applies to StreamingRuntime"
             )
         if not hasattr(self.model.module, "forward_chunk"):
             raise NotImplementedError(
@@ -343,10 +356,22 @@ class ChunkedStreamingRuntime(StreamingRuntime):
             [re[..., :nb_df] * scale, im[..., :nb_df] * scale], axis=-1
         )
         spec_ri = jnp.stack([re, im], axis=-1)
-        # -- model chunk
+        # -- model chunk (optionally reduced precision, mirroring the
+        # per-frame cell: features/model in bf16, DF/mask outputs back to
+        # f32 before the runtime stages and synthesis)
+        if self.dtype != jnp.float32:
+            feat_erb = feat_erb.astype(self.dtype)
+            feat_spec = feat_spec.astype(self.dtype)
+            spec_in = spec_ri.astype(self.dtype)
+        else:
+            spec_in = spec_ri
         mcarry, (spec_e_ri, lsnr, mask) = module.forward_chunk(
-            params, mstate, cfg, carry.model, spec_ri, feat_erb, feat_spec
+            params, mstate, cfg, carry.model, spec_in, feat_erb, feat_spec
         )
+        if self.dtype != jnp.float32:
+            spec_e_ri = spec_e_ri.astype(jnp.float32)
+            lsnr = lsnr.astype(jnp.float32)
+            mask = mask.astype(jnp.float32)
         # -- post-model RuntimeParams stages, frame-parallel
         spec_e = self._apply_runtime_stages(
             re + 1j * im, spec_e_ri[..., 0] + 1j * spec_e_ri[..., 1],

@@ -182,4 +182,70 @@ class TestChunkedRuntimeParams:
 
         model, df_state, _ = setup
         with pytest.raises(NotImplementedError):
-            ChunkedStreamingRuntime(model, df_state, dtype=jnp.bfloat16)
+            ChunkedStreamingRuntime(model, df_state, use_pallas=True)
+
+
+class TestMultiChannelReduceMask:
+    """Multi-channel mask reduction (tract.rs:117-193): streams are
+    (stream, channel) groups; the ERB mask is reduced over channels and the
+    shared mask re-applied to every channel's spectrum."""
+
+    def _run(self, setup, audio, reduce, n_ch):
+        from deepfilternet_tpu.streaming import RuntimeParams
+
+        model, df_state, _ = setup
+        rp = RuntimeParams(reduce_mask=reduce, n_channels=n_ch)
+        rt = StreamingRuntime(model, df_state, rp)
+        _, out = rt.process(rt.init(audio.shape[0]), jnp.asarray(audio))
+        return np.asarray(out)
+
+    def test_identical_channels_match_none(self, setup, rng):
+        a = rng.standard_normal((1, 480 * 6)).astype(np.float32) * 0.1
+        stereo = np.concatenate([a, a], axis=0)  # 2 identical channels
+        got = self._run(setup, stereo, "max", 2)
+        ref = self._run(setup, stereo, "none", 1)
+        np.testing.assert_allclose(got, ref, atol=1e-5)
+
+    def test_channel_order_equivariance(self, setup, rng):
+        a = rng.standard_normal((2, 480 * 6)).astype(np.float32) * 0.1
+        fwd = self._run(setup, a, "max", 2)
+        rev = self._run(setup, a[::-1].copy(), "max", 2)
+        np.testing.assert_allclose(fwd, rev[::-1], atol=1e-5)
+
+    def test_reduction_changes_output(self, setup, rng):
+        a = rng.standard_normal((2, 480 * 6)).astype(np.float32) * 0.1
+        for reduce in ("max", "mean"):
+            got = self._run(setup, a, reduce, 2)
+            ref = self._run(setup, a, "none", 1)
+            assert not np.allclose(got, ref, atol=1e-5), reduce
+
+
+class TestChunkedRuntimeBf16:
+    def test_bf16_matches_per_frame_bf16(self, setup, rng):
+        """bf16 chunked runtime tracks the bf16 per-frame cell (same
+        reduced-precision policy: features/model bf16, spectrum f32) to
+        within bf16 rounding across chunk boundaries."""
+        from deepfilternet_tpu.streaming import ChunkedStreamingRuntime
+
+        model, df_state, _ = setup
+        rt = StreamingRuntime(model, df_state, dtype=jnp.bfloat16)
+        crt = ChunkedStreamingRuntime(
+            model, df_state, chunk_frames=4, dtype=jnp.bfloat16
+        )
+        audio = rng.standard_normal((2, 480 * 8)).astype(np.float32) * 0.1
+        _, ref = rt.process(rt.init(2), jnp.asarray(audio))
+        c = crt.init(2)
+        outs = []
+        for lo, hi in [(0, 480 * 5), (480 * 5, 480 * 8)]:  # 5 | 3 frames
+            c, o = crt.process(c, jnp.asarray(audio[:, lo:hi]))
+            outs.append(np.asarray(o))
+        got = np.concatenate(outs, 1)
+        # both runtimes round differently inside the model (per-frame vs
+        # frame-parallel matmul shapes); bound the divergence against the
+        # signal scale rather than expecting bitwise equality
+        denom = np.abs(np.asarray(ref)).max()
+        assert np.abs(got - np.asarray(ref)).max() / denom < 0.1
+        # and both stay close to the f32 reference
+        f32 = StreamingRuntime(model, df_state)
+        _, exact = f32.process(f32.init(2), jnp.asarray(audio))
+        assert np.abs(got - np.asarray(exact)).max() / denom < 0.1
