@@ -452,16 +452,48 @@ def low_pass_resample(x: np.ndarray, cutoff: int, sr: int) -> np.ndarray:
 
 class AirAbsorptionAugmentation(Transform):
     """Distance-dependent air absorption as an FD low-pass filterbank
-    (augmentations.rs:1128-1290; coefficient table from pyroomacoustics)."""
+    (augmentations.rs:1128-1290).
+
+    A temperature/humidity condition is drawn uniformly from the published
+    pyroomacoustics absorption-coefficient tables [1e-3/m]; per-band
+    amplitude attenuation is exp(-distance * coef), linearly interpolated
+    over the STFT bins with flat extension below the first and above the
+    last center frequency (augmentations.rs:1211-1232)."""
 
     name = "AirAbsorption"
-    # absorption coefficients [1/m] at the center frequencies below
-    CENTER_FREQS = (125.0, 250.0, 500.0, 1000.0, 2000.0, 4000.0, 8000.0)
-    COEFS = (0.1e-3, 0.3e-3, 0.6e-3, 1.0e-3, 1.9e-3, 5.8e-3, 20.3e-3)
+    CENTER_FREQS = (125.0, 250.0, 500.0, 1000.0, 2000.0, 4000.0, 8000.0,
+                    16000.0, 24000.0)
+    # key -> coefficients [1e-3/m] at CENTER_FREQS (augmentations.rs:1155-1199;
+    # the two "Strong-High" rows are the reference's artificial strong-
+    # absorption entries)
+    COEF_TABLE = {
+        "10C_30-50%": (0.1, 0.2, 0.5, 1.1, 2.7, 9.4, 29.0, 91.5, 289.0),
+        "10C_50-70%": (0.1, 0.2, 0.5, 0.8, 1.8, 5.9, 21.1, 76.6, 280.2),
+        "10C_70-90%": (0.1, 0.2, 0.5, 0.7, 1.4, 4.4, 15.8, 58.0, 214.9),
+        "20C_30-50": (0.1, 0.3, 0.6, 1.0, 1.9, 5.8, 20.3, 72.3, 259.9),
+        "20C_50-70%": (0.1, 0.3, 0.6, 1.0, 1.7, 4.1, 13.5, 44.4, 148.7),
+        "20C_70-90%": (0.1, 0.3, 0.6, 1.1, 1.7, 3.5, 10.6, 31.2, 93.8),
+        "Strong-High-1": (0.1, 0.2, 0.7, 1.5, 3.9, 8.1, 21.6, 80.2, 213.1),
+        "Strong-High-2": (0.1, 0.3, 0.9, 3.8, 8.9, 21.1, 44.6, 80.2, 153.1),
+    }
 
-    def __init__(self, prob=1.0, distance_range=(1.0, 40.0)):
+    def __init__(self, prob=1.0, distance_range=(1.0, 20.0)):
         super().__init__(prob)
         self.distance_range = distance_range
+
+    def attenuation(self, coefs, distance: float, sr: int,
+                    n_freqs: int) -> np.ndarray:
+        """Per-bin amplitude attenuation for one condition/distance."""
+        atten = np.exp(-distance * np.asarray(coefs) * 1e-3)
+        freqs = np.linspace(0.0, sr / 2, n_freqs)
+        # flat extension: value a[0] below the first center, a[-1] above
+        # the last (interp_atten prepends (0, a0) / appends (sr/2, a_last))
+        xs = np.concatenate([[0.0], self.CENTER_FREQS])
+        ys = np.concatenate([[atten[0]], atten])
+        if sr / 2 > self.CENTER_FREQS[-1]:
+            xs = np.append(xs, sr / 2)
+            ys = np.append(ys, atten[-1])
+        return np.interp(freqs, xs, ys)
 
     def apply_spectrum(self, spec: np.ndarray, sr: int,
                        rng: np.random.Generator) -> np.ndarray:
@@ -469,11 +501,6 @@ class AirAbsorptionAugmentation(Transform):
         if not self._gate(rng):
             return spec
         d = rng.uniform(*self.distance_range)
-        n_freqs = spec.shape[-1]
-        freqs = np.linspace(0, sr / 2, n_freqs)
-        att_db = np.interp(
-            freqs, self.CENTER_FREQS,
-            [20.0 / math.log(10.0) * c * d for c in self.COEFS],
-        )
-        gain = 10.0 ** (-att_db / 20.0)
+        key = sorted(self.COEF_TABLE)[rng.integers(0, len(self.COEF_TABLE))]
+        gain = self.attenuation(self.COEF_TABLE[key], d, sr, spec.shape[-1])
         return spec * gain.astype(np.float32)

@@ -28,10 +28,10 @@ import numpy as np
 class Batch:
     speech: np.ndarray       # [B, C, T]
     noisy: np.ndarray        # [B, C, T]
-    spec_clean: np.ndarray   # [B, T', F] complex64
-    spec_noisy: np.ndarray   # [B, T', F] complex64
-    feat_erb: np.ndarray     # [B, T', E]
-    feat_spec: np.ndarray    # [B, T', F'] complex64
+    spec_clean: np.ndarray   # [B, C, T', F] complex64
+    spec_noisy: np.ndarray   # [B, C, T', F] complex64
+    feat_erb: np.ndarray     # [B, C, T', E]
+    feat_spec: np.ndarray    # [B, C, T', F'] complex64
     lengths: np.ndarray      # [B] samples
     max_freq: np.ndarray     # [B]
     snr: np.ndarray          # [B]
@@ -40,6 +40,8 @@ class Batch:
 
 
 def collate(samples: List[Dict]) -> Batch:
+    """Pad to the longest sample and stack, keeping every audio channel
+    (dataloader.rs:484-548 stacks [B, C, T, F]; C is 1 for mono corpora)."""
     max_t = max(s["speech"].shape[-1] for s in samples)
     max_tf = max(s["spec_clean"].shape[-2] for s in samples)
 
@@ -50,11 +52,11 @@ def collate(samples: List[Dict]) -> Batch:
         return out
 
     def pad_fd(key, dtype):
-        f = samples[0][key].shape[-1]
-        out = np.zeros((len(samples), max_tf, f), dtype)
+        c, _, f = samples[0][key].shape
+        out = np.zeros((len(samples), c, max_tf, f), dtype)
         for i, s in enumerate(samples):
-            x = s[key][0]  # single channel
-            out[i, : x.shape[0]] = x
+            x = s[key]  # [C, T', F]
+            out[i, :, : x.shape[1]] = x
         return out
 
     return Batch(

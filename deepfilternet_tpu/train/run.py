@@ -91,13 +91,22 @@ def _sigusr1(signum, frame):  # pragma: no cover - signal path
 
 
 def batch_to_arrays(batch) -> Dict[str, np.ndarray]:
+    """Batch -> model inputs. Spectral fields are [B, C, T, F]; the models
+    consume one channel per example (reference modules take conv in_ch=1,
+    df/modules.py:49-67), so channels fold into the batch axis: [B*C, T, F].
+    Mono corpora (C=1) reduce to the plain [B, T, F] path."""
+
+    def fold(x):
+        return x.reshape(-1, *x.shape[2:]) if x.ndim >= 3 else x
+
     def ri(x):
+        x = fold(x)
         return np.stack([x.real, x.imag], axis=-1).astype(np.float32)
 
     return {
         "noisy": ri(batch.spec_noisy),
         "clean": ri(batch.spec_clean),
-        "feat_erb": batch.feat_erb,
+        "feat_erb": fold(batch.feat_erb),
         "feat_spec": ri(batch.feat_spec),
     }
 

@@ -117,6 +117,44 @@ class TestAugmentations:
         if sp_rev is not None:
             assert sp_rev.shape == sp.shape
 
+    def test_air_absorption_matches_reference_table(self, rng):
+        """Pin the attenuation curve against the reference's vendored
+        pyroomacoustics coefficients (augmentations.rs:1155-1199) and its
+        interp_atten semantics (rs:1211-1232): per-band amplitude
+        exp(-d*coef), linear interp over bins, flat beyond the band edges."""
+        from deepfilternet_tpu.data.augmentations import AirAbsorptionAugmentation
+
+        a = AirAbsorptionAugmentation()
+        # the six physical + two artificial conditions, exact coef rows
+        assert sorted(a.COEF_TABLE) == [
+            "10C_30-50%", "10C_50-70%", "10C_70-90%", "20C_30-50",
+            "20C_50-70%", "20C_70-90%", "Strong-High-1", "Strong-High-2",
+        ]
+        np.testing.assert_allclose(
+            a.COEF_TABLE["20C_30-50"],
+            (0.1, 0.3, 0.6, 1.0, 1.9, 5.8, 20.3, 72.3, 259.9),
+        )
+        sr, n_freqs, d = 48000, 1025, 10.0
+        coefs = a.COEF_TABLE["20C_30-50"]
+        att = a.attenuation(coefs, d, sr, n_freqs)
+        freqs = np.linspace(0, sr / 2, n_freqs)
+        # at (closest bin to) each center frequency: exp(-d*c) exactly-ish
+        for cf, c in zip(a.CENTER_FREQS, coefs):
+            i = int(np.argmin(np.abs(freqs - cf)))
+            np.testing.assert_allclose(
+                att[i], np.exp(-d * c * 1e-3), rtol=2e-3
+            )
+        # flat below the first center frequency (reference prepends (0, a0))
+        below = att[freqs <= 125.0]
+        np.testing.assert_allclose(below, np.exp(-d * coefs[0] * 1e-3), rtol=1e-6)
+        # midpoint between two centers interpolates the *amplitudes* linearly
+        mid = 0.5 * (np.exp(-d * coefs[5] * 1e-3) + np.exp(-d * coefs[6] * 1e-3))
+        i = int(np.argmin(np.abs(freqs - 6000.0)))
+        np.testing.assert_allclose(att[i], mid, rtol=2e-3)
+        # monotone non-increasing curve, strong high-band absorption
+        assert np.all(np.diff(att) <= 1e-9)
+        assert att[-1] < 0.1 < att[0]
+
     def test_resample_rate(self, rng):
         x = rng.standard_normal((1, 48000)).astype(np.float32)
         y = aug.RandResample(1.0, sr=48000, r_low=0.95, r_high=0.95)(x, rng)
@@ -194,6 +232,45 @@ class TestDataLoader:
         assert b.noisy.shape[0] == 4
         assert b.feat_erb.shape[-1] == 32
         assert b.spec_noisy.dtype == np.complex64
+
+    def test_collate_multichannel(self):
+        """Collate stacks every audio channel: spectral fields come out
+        [B, C, T', F] (dataloader.rs:484-548), and batch_to_arrays folds
+        channels into the batch axis for the C=1-input models."""
+        from deepfilternet_tpu.data.dataloader import collate
+        from deepfilternet_tpu.train.run import batch_to_arrays
+
+        rng = np.random.default_rng(0)
+        c, f, e, fp = 2, 481, 32, 96
+
+        def sample(idx, t_samples, t_frames):
+            return {
+                "speech": rng.standard_normal((c, t_samples)).astype(np.float32),
+                "noisy": rng.standard_normal((c, t_samples)).astype(np.float32),
+                "spec_clean": (rng.standard_normal((c, t_frames, f))
+                               + 1j * rng.standard_normal((c, t_frames, f))
+                               ).astype(np.complex64),
+                "spec_noisy": (rng.standard_normal((c, t_frames, f))
+                               + 1j * rng.standard_normal((c, t_frames, f))
+                               ).astype(np.complex64),
+                "feat_erb": rng.standard_normal((c, t_frames, e)).astype(np.float32),
+                "feat_spec": (rng.standard_normal((c, t_frames, fp))
+                              + 1j * rng.standard_normal((c, t_frames, fp))
+                              ).astype(np.complex64),
+                "max_freq": 24000, "snr": 5, "gain": 0, "idx": idx,
+            }
+
+        b = collate([sample(0, 960, 2), sample(1, 1440, 3)])
+        assert b.spec_noisy.shape == (2, c, 3, f)
+        assert b.feat_erb.shape == (2, c, 3, e)
+        assert b.feat_spec.shape == (2, c, 3, fp)
+        # second channel survives (previously dropped)
+        assert np.any(b.feat_erb[0, 1] != 0)
+        arrays = batch_to_arrays(b)
+        assert arrays["noisy"].shape == (2 * c, 3, f, 2)
+        assert arrays["feat_erb"].shape == (2 * c, 3, e)
+        # fold order is (batch, channel): row 1 is sample 0 / channel 1
+        np.testing.assert_array_equal(arrays["feat_erb"][1], b.feat_erb[0, 1])
 
     def test_deterministic_epochs(self):
         cfgs = [Hdf5Cfg("clean.hdf5", 4), Hdf5Cfg("noise_flac.hdf5", 1)]
