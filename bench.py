@@ -31,6 +31,15 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # Persistent compilation cache: the 2048-stream program takes minutes to
+    # compile cold; cached re-runs (same jaxlib + flags) start in seconds.
+    cache_dir = os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:  # cache is an optimization, never a failure
+        log(f"compilation cache unavailable: {e}")
+
     from deepfilternet_tpu.enhance import init_df
     from deepfilternet_tpu.streaming import StreamingRuntime
 

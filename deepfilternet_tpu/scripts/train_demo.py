@@ -105,15 +105,26 @@ def main(model_dir: str, budget_s: float = 600.0, lr: float = 3e-4) -> None:
     t0 = time.time()
     losses = []
     n = step0
+    best = (float("inf"), ts, n)  # (avg loss, state, step)
+    window = max(len(arr_pool), 8)
     while time.time() - t0 < budget_s:
         for arrays in arr_pool:
             ts, m = step(ts, arrays, lr_a, wd_a)
             losses.append(float(m["loss"]))
             n += 1
-    write_cp(ckpt_dir, ts.params, ts.model_state, n, opt_state=ts.opt_state,
-             keep_n=1, is_best=True)
-    print(f"steps {step0}->{n}, loss {np.mean(losses[:3]):.4f} -> "
-          f"{np.mean(losses[-3:]):.4f}")
+        if len(losses) >= window:
+            avg = float(np.mean(losses[-window:]))
+            if avg < best[0]:
+                best = (avg, ts, n)
+    if best[1] is not ts:
+        print(f"final avg loss {np.mean(losses[-window:]):.4f} > best "
+              f"{best[0]:.4f} at step {best[2]}; keeping best")
+    _, ts_b, n_b = best
+    write_cp(ckpt_dir, ts_b.params, ts_b.model_state, n_b,
+             opt_state=ts_b.opt_state, keep_n=1, is_best=True)
+    ts = ts_b
+    print(f"steps {step0}->{n} (kept {n_b}), loss {np.mean(losses[:3]):.4f} "
+          f"-> {best[0]:.4f}")
 
     stft_cfg = Stft(p.sr, p.fft_size, p.hop_size)
 
@@ -137,4 +148,8 @@ def main(model_dir: str, budget_s: float = 600.0, lr: float = 3e-4) -> None:
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], float(sys.argv[2]) if len(sys.argv) > 2 else 600.0)
+    main(
+        sys.argv[1],
+        float(sys.argv[2]) if len(sys.argv) > 2 else 600.0,
+        float(sys.argv[3]) if len(sys.argv) > 3 else 3e-4,
+    )
