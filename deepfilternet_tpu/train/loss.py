@@ -16,6 +16,7 @@ from __future__ import annotations
 import math
 from typing import Dict, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -75,6 +76,32 @@ def hann_stft(x: jnp.ndarray, n_fft: int, hop: Optional[int] = None) -> jnp.ndar
 # ---------------------------------------------------------------------------
 
 
+@jax.custom_vjp
+def _safe_angle_re_im(re: jnp.ndarray, im: jnp.ndarray) -> jnp.ndarray:
+    return jnp.arctan2(im, re)
+
+
+def _safe_angle_fwd(re, im):
+    return jnp.arctan2(im, re), (re, im)
+
+
+def _safe_angle_bwd(res, g):
+    re, im = res
+    gi = g / jnp.maximum(re * re + im * im, 1e-10)
+    return -im * gi, re * gi
+
+
+_safe_angle_re_im.defvjp(_safe_angle_fwd, _safe_angle_bwd)
+
+
+def safe_angle(z: jnp.ndarray) -> jnp.ndarray:
+    """atan2(im, re) with the zero-magnitude-robust gradient of the
+    reference's `angle` autograd Function (df/utils.py:48-74): the backward
+    denominator |z|^2 is clamped to 1e-10, so exact-zero bins (silence /
+    padding) produce zero gradient instead of NaN."""
+    return _safe_angle_re_im(jnp.real(z), jnp.imag(z))
+
+
 def spectral_loss(
     enhanced: jnp.ndarray,
     clean: jnp.ndarray,
@@ -96,8 +123,8 @@ def spectral_loss(
     loss = jnp.mean(tmp) * factor_magnitude
     if factor_complex > 0:
         if gamma != 1.0:
-            e = e_abs * jnp.exp(1j * jnp.angle(enhanced))
-            c = c_abs * jnp.exp(1j * jnp.angle(clean))
+            e = e_abs * jnp.exp(1j * safe_angle(enhanced))
+            c = c_abs * jnp.exp(1j * safe_angle(clean))
         else:
             e, c = enhanced, clean
         loss_c = jnp.mean(jnp.abs(e - c) ** 2) / 2.0  # == MSE over re/im stack
@@ -125,8 +152,8 @@ def multi_res_spec_loss(
         loss = loss + jnp.mean((y_abs - s_abs) ** 2) * factor
         if factor_complex > 0:
             if gamma != 1.0:
-                y = y_abs * jnp.exp(1j * jnp.angle(y))
-                s = s_abs * jnp.exp(1j * jnp.angle(s))
+                y = y_abs * jnp.exp(1j * safe_angle(y))
+                s = s_abs * jnp.exp(1j * safe_angle(s))
             loss = loss + jnp.mean(jnp.abs(y - s) ** 2) / 2.0 * factor_complex
     return loss
 

@@ -63,6 +63,42 @@ class TestLosses:
         loss = float(mask_loss(g_t ** (1 / 0.6), clean, noisy, fb))
         assert loss < 1e-6
 
+    def test_spectral_grad_finite_at_zero_magnitude(self, rng):
+        """Regression: gamma<1 spectral loss takes angle(enhanced); plain
+        jnp.angle has a NaN gradient at exact zeros (padded / silent bins),
+        which poisoned every other demo-training update. safe_angle clamps
+        the backward denominator like the reference's angle Function
+        (df/utils.py:48-74)."""
+        import jax
+
+        from deepfilternet_tpu.train.loss import safe_angle
+
+        c = _cplx(rng, (1, 6, 100))
+        # enhanced with an exact-zero region (model silencing padded frames)
+        e = c.at[:, 3:].set(0.0)
+        z = jnp.zeros_like(c).at[:, :2].set(c[:, :2])
+
+        def f(e_):
+            return spectral_loss(e_, z, gamma=0.6, factor_complex=100.0)
+
+        g = jax.grad(lambda ri: f(ri[..., 0] + 1j * ri[..., 1]))(
+            jnp.stack([jnp.real(e), jnp.imag(e)], -1)
+        )
+        assert bool(jnp.all(jnp.isfinite(g)))
+        # safe_angle forward equals jnp.angle everywhere
+        np.testing.assert_allclose(
+            np.asarray(safe_angle(c)), np.angle(np.asarray(c)), atol=1e-6
+        )
+        # and its gradient matches the analytic one away from zero
+        g2 = jax.grad(lambda ri: jnp.sum(
+            safe_angle(ri[..., 0] + 1j * ri[..., 1])))(
+            jnp.stack([jnp.real(c), jnp.imag(c)], -1)
+        )
+        re, im = np.real(np.asarray(c)), np.imag(np.asarray(c))
+        d = re**2 + im**2
+        np.testing.assert_allclose(np.asarray(g2[..., 0]), -im / d, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(g2[..., 1]), re / d, rtol=1e-4)
+
     def test_si_sdr_scale_invariance(self, rng):
         x = jnp.asarray(rng.standard_normal((2, 4800)).astype(np.float32))
         est = x + 0.1 * jnp.asarray(rng.standard_normal((2, 4800)).astype(np.float32))
