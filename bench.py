@@ -51,8 +51,9 @@ def main():
     if dt_name not in ("bf16", "f32"):
         sys.exit(f"BENCH_DTYPE must be bf16 or f32, got {dt_name!r}")
     dtype = jnp.float32 if dt_name == "f32" else jnp.bfloat16
-    log(f"runtime dtype: {dtype.__name__}")
-    rt = StreamingRuntime(model, df_state, dtype=dtype)
+    unroll = int(os.environ.get("BENCH_UNROLL", "1"))
+    log(f"runtime dtype: {dtype.__name__} unroll: {unroll}")
+    rt = StreamingRuntime(model, df_state, dtype=dtype, unroll=unroll)
 
     n_streams = int(os.environ.get("BENCH_STREAMS", "2048"))
     seconds = float(os.environ.get("BENCH_SECONDS", "4.0"))

@@ -63,13 +63,17 @@ class RuntimeParams(NamedTuple):
 
 class StreamingRuntime:
     def __init__(self, model, df_state, params: RuntimeParams = RuntimeParams(),
-                 dtype=jnp.float32, use_pallas: bool = False, fused: bool = False):
+                 dtype=jnp.float32, use_pallas: bool = False, fused: bool = False,
+                 unroll: int = 1):
         self.model = model
         self.df_state = df_state
         self.cfg = model.cfg
         self.rt = params
         self.dtype = dtype
         self.use_pallas = use_pallas
+        # lax.scan unroll factor: >1 lets XLA software-pipeline independent
+        # work (frontend DFT of frame t+1 against GRU chain of frame t)
+        self.unroll = unroll
         if fused:
             # DFN3-only: conv stack folded into dense MXU matmuls
             from deepfilternet_tpu.models.dfnet3_fused import FusedDfNet3
@@ -265,7 +269,8 @@ class StreamingRuntime:
                     audio.shape[0], n_frames, self.stft_cfg.hop_size
                 )
                 carry, out = jax.lax.scan(
-                    self._cell, carry, jnp.moveaxis(frames, 1, 0)
+                    self._cell, carry, jnp.moveaxis(frames, 1, 0),
+                    unroll=min(self.unroll, n_frames),
                 )
                 return carry, jnp.moveaxis(out, 0, 1).reshape(audio.shape[0], -1)
 

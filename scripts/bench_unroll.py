@@ -32,11 +32,9 @@ def main():
 
     for u in unrolls:
 
-        @jax.jit
-        def run(c, a, u=u):
-            frames = jnp.moveaxis(a.reshape(a.shape[0], n_frames, hop), 1, 0)
-            c, out = jax.lax.scan(rt._cell, c, frames, unroll=u)
-            return c, jnp.moveaxis(out, 0, 1).reshape(a.shape[0], -1)
+        rt.unroll = u
+        rt._process_jit.clear()
+        run = rt._get_process(n_frames)
 
         t0 = time.time()
         c2, out = run(carry, audio)
