@@ -63,7 +63,7 @@ def main(model_dir: str, budget_s: float = 600.0, lr: float = 3e-4) -> None:
     cfgs = [Hdf5Cfg("clean.hdf5", 16), Hdf5Cfg("noise_flac.hdf5", 1)]
     td = TdDataset("/root/reference/assets", cfgs, "train", max_len_s=3.0, seed=1)
     fd = FdDataset(td)
-    dl = DataLoader(fd, batch_size=8, num_workers=6, overfit=True, drop_last=True)
+    dl = DataLoader(fd, batch_size=8, num_workers=6, drop_last=True)
 
     loss_obj = Loss(
         Stft(p.sr, p.fft_size, p.hop_size),
@@ -99,9 +99,26 @@ def main(model_dir: str, budget_s: float = 600.0, lr: float = 3e-4) -> None:
 
     lr_a = jnp.asarray(lr)
     wd_a = jnp.asarray(0.05)
+    # fixture corpus is tiny; cycle over several *distinct* epoch pools
+    # (fresh SNR/gain/augmentation/noise draws per epoch seed) so the demo
+    # model generalizes to the golden asset instead of memorizing one mix
+    n_pools = int(os.environ.get("DEMO_POOLS", "12"))
     pool = list(dl.iter_epoch("train", 0))
-    arr_pool = [{k: jnp.asarray(v) for k, v in batch_to_arrays(b).items()}
-                for b in pool]
+    raw = []
+    for ep in range(n_pools):
+        for b in (pool if ep == 0 else dl.iter_epoch("train", ep)):
+            raw.append(batch_to_arrays(b))
+    # pad every batch to one global [B, T, ...] shape: a single jit
+    # signature for the train step (shape churn = minutes of recompiles)
+    tmax = max(a["noisy"].shape[1] for a in raw)
+    arr_pool = []
+    for a in raw:
+        t = a["noisy"].shape[1]
+        arr_pool.append({
+            k: jnp.asarray(np.pad(v, [(0, 0), (0, tmax - t)]
+                                  + [(0, 0)] * (v.ndim - 2)))
+            for k, v in a.items()
+        })
     t0 = time.time()
     losses = []
     n = step0
