@@ -53,8 +53,20 @@ def main():
         sys.exit(f"BENCH_DTYPE must be bf16 or f32, got {dt_name!r}")
     dtype = jnp.float32 if dt_name == "f32" else jnp.bfloat16
     unroll = int(os.environ.get("BENCH_UNROLL", "1"))
-    log(f"runtime dtype: {dtype.__name__} unroll: {unroll}")
-    rt = StreamingRuntime(model, df_state, dtype=dtype, unroll=unroll)
+    runtime = os.environ.get("BENCH_RUNTIME", "pallas")
+    log(f"runtime: {runtime} dtype: {dtype.__name__} unroll: {unroll}")
+    if runtime == "pallas":
+        # whole-cell fused kernel (ops/pallas_cell.py): frames loop inside
+        # one Pallas program, weights VMEM-resident per stream block
+        from deepfilternet_tpu.streaming_pallas import PallasStreamingRuntime
+
+        rt = PallasStreamingRuntime(
+            model, df_state, matmul_dtype=dtype,
+            s_blk=int(os.environ.get("BENCH_SBLK", "128")),
+            chunk=int(os.environ.get("BENCH_CHUNK", "8")),
+        )
+    else:
+        rt = StreamingRuntime(model, df_state, dtype=dtype, unroll=unroll)
 
     # 4096 streams amortize the scan's fixed per-iteration overhead better
     # than 2048 (+19% aggregate RTF same-day); 2 s of audio is enough for a
