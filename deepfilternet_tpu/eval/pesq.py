@@ -248,10 +248,11 @@ def _lp(values: np.ndarray, p: float, axis=-1) -> np.ndarray:
     return np.mean(np.abs(values) ** p, axis=axis) ** (1.0 / p)
 
 
-def pesq(fs: int, ref: np.ndarray, deg: np.ndarray, mode: str = "wb") -> float:
-    """P.862 PESQ score (MOS-LQO). ``mode``: "wb" (P.862.2, fs=16000) or
-    "nb" (P.862/P.862.1, fs=8000 or 16000). Signature matches the `pesq`
-    wheel consumed by the reference (df/sepm.py:499)."""
+def pesq_indicator(fs: int, ref: np.ndarray, deg: np.ndarray,
+                   mode: str = "wb") -> float:
+    """Combined disturbance indicator v = 0.1*D + 0.0309*DA (the P.862
+    linear-combination input, before the raw-MOS mapping). Exposed so the
+    raw->MOS calibration can be fit on anchor sets (scripts/calibrate_pesq)."""
     if mode not in ("wb", "nb"):
         raise ValueError(f"mode must be 'wb' or 'nb', got {mode!r}")
     if fs not in _RATE_CFG:
@@ -379,15 +380,31 @@ def pesq(fs: int, ref: np.ndarray, deg: np.ndarray, mode: str = "wb") -> float:
 
     d_ind = lpq(d_frame)
     da_ind = lpq(da_frame)
+    return float(0.1 * d_ind + 0.0309 * da_ind)
 
-    # P.862 combines the indicators linearly (4.5 - 0.1 D - 0.0309 DA) in
-    # the units of its hand-tuned tables. With the derived tables used
-    # here the indicator scale is compressed, so the combined indicator is
-    # mapped through a power law calibrated against the published
-    # behavior of the ITU implementation on additive-white-noise anchors
-    # (SNR 0..40 dB -> MOS-LQO 1.35..4.2); identity still maps to 4.5 raw.
-    v = 0.1 * d_ind + 0.0309 * da_ind
-    raw = 4.5 - 4.0907 * v**0.5015
+
+# Raw-MOS mapping calibration (see scripts/calibrate_pesq.py). P.862
+# combines the indicators linearly (4.5 - 0.1 D - 0.0309 DA) in the units
+# of its hand-tuned tables; with the derived tables used here the
+# indicator scale is compressed, so the combined indicator v is mapped
+# through a power law raw = 4.5 - A * v**P fit by least squares against
+# APPROXIMATE published-behavior targets of the ITU implementation over a
+# multi-family anchor set (additive white/pink noise at several SNRs,
+# low-pass filtering, clipping, reverb, level offsets) — not white noise
+# alone. Identity still maps to 4.5 raw. Scores remain a LOCAL scale:
+# rank-correlated with ITU PESQ but not ITU-conformant, and in particular
+# not comparable to the reference's committed golden values.
+_CAL_A = 3.7858
+_CAL_P = 0.3916
+
+
+def pesq(fs: int, ref: np.ndarray, deg: np.ndarray, mode: str = "wb") -> float:
+    """P.862 PESQ score (MOS-LQO, local calibration — see module doc).
+    ``mode``: "wb" (P.862.2, fs=16000) or "nb" (P.862/P.862.1, fs=8000 or
+    16000). Signature matches the `pesq` wheel consumed by the reference
+    (df/sepm.py:499)."""
+    v = pesq_indicator(fs, ref, deg, mode)
+    raw = 4.5 - _CAL_A * v**_CAL_P
     raw = float(np.clip(raw, -0.5, 4.5))
     if mode == "wb":
         # P.862.2 mapping to MOS-LQO

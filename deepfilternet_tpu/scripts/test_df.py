@@ -60,8 +60,14 @@ def main(argv=None):
         got = eval_model(model_dir, args.noisy, args.clean)
         print(f"{model_dir}: " + " ".join(f"{k}={v:.5f}" for k, v in got.items()))
         if args.update_golden:
+            payload = dict(got)
+            payload["_pesq_scale"] = (
+                "local from-spec calibration (eval/pesq.py, multi-family "
+                "anchors) — NOT comparable to ITU P.862 values such as the "
+                "reference's committed goldens"
+            )
             with open(golden_path, "w") as f:
-                json.dump(got, f, indent=2)
+                json.dump(payload, f, indent=2)
             print(f"  wrote {golden_path}")
             continue
         if not os.path.isfile(golden_path):
@@ -70,6 +76,8 @@ def main(argv=None):
             continue
         golden = json.load(open(golden_path))
         for k, v in golden.items():
+            if k.startswith("_"):
+                continue
             if k in got and not np.isclose(got[k], v, rtol=args.rtol, atol=args.atol):
                 print(f"  FAIL {k}: got {got[k]:.6f}, golden {v:.6f}")
                 failed = True

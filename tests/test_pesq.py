@@ -41,7 +41,7 @@ def test_monotonic_in_snr(speech16k):
     scores = [pesq(16000, speech16k, _add_noise(speech16k, s), "wb")
               for s in (40, 30, 20, 10, 0)]
     assert all(a > b for a, b in zip(scores, scores[1:])), scores
-    assert scores[0] > 4.0  # nearly clean
+    assert scores[0] > 3.8  # nearly clean
     assert scores[-1] < 1.8  # heavily degraded
 
 
@@ -75,6 +75,61 @@ def test_mode_validation(speech16k):
         pesq(44100, speech16k, speech16k, "nb")
     with pytest.raises(ValueError):
         pesq(16000, speech16k, speech16k, "fb")
+
+
+def test_anchor_families(speech16k):
+    """Multi-family calibration anchors (scripts/calibrate_pesq.py): the
+    recalibrated scale must stay monotone within each distortion family
+    and land in plausible windows on the best-established anchors, instead
+    of only behaving on white noise (round-2 weakness: the white-only
+    calibration read ~0.35 MOS high on enhancement-style distortions)."""
+    x = speech16k
+    # white noise family: windows around P.862 conformance-style targets
+    for snr, lo, hi in [(0, 1.0, 1.8), (10, 1.4, 2.4), (20, 2.1, 3.1),
+                        (30, 2.9, 3.9)]:
+        s = pesq(16000, x, _add_noise(x, snr), "wb")
+        assert lo <= s <= hi, (snr, s)
+    # low-pass family: monotone in cutoff, severe band-loss clearly
+    # below the near-transparent case
+    def lp(cut):
+        spec = np.fft.rfft(x)
+        f = np.fft.rfftfreq(len(x), 1 / 16000)
+        spec[f > cut] = 0
+        return pesq(16000, x, np.fft.irfft(spec, len(x)), "wb")
+
+    s2, s34, s6 = lp(2000), lp(3400), lp(6000)
+    assert s2 < s34 < s6, (s2, s34, s6)
+    assert s6 - s2 > 0.25
+    # clipping family: monotone in severity
+    peak = np.abs(x).max()
+    c5, c2, c1 = (pesq(16000, x, np.clip(x, -f * peak, f * peak), "wb")
+                  for f in (0.5, 0.2, 0.1))
+    assert c5 > c2 > c1, (c5, c2, c1)
+    # level offsets are nearly transparent (PESQ level-aligns)
+    assert pesq(16000, x, 0.1 * x, "wb") > 4.4
+
+
+def test_cross_model_ordering():
+    """PESQ ordering must agree with SI-SDR ordering for clearly-separated
+    model pairs (VERDICT r2 #4b). The committed demo-model goldens are
+    produced by the full enhance pipeline; when two models differ by >2 dB
+    SI-SDR on the golden asset, the local-PESQ ordering must match."""
+    import itertools
+    import json
+    import os
+
+    root = os.path.join(os.path.dirname(os.path.dirname(__file__)), "pretrained")
+    goldens = {}
+    for name in ("dfn1_fixture_demo", "dfn2_fixture_demo", "dfn3_fixture_demo"):
+        path = os.path.join(root, name, "golden_metrics.json")
+        if os.path.isfile(path):
+            goldens[name] = json.load(open(path))
+    assert len(goldens) >= 2, "demo goldens missing"
+    for a, b in itertools.combinations(goldens, 2):
+        ga, gb = goldens[a], goldens[b]
+        if abs(ga["sisdr"] - gb["sisdr"]) > 2.0:
+            better, worse = (ga, gb) if ga["sisdr"] > gb["sisdr"] else (gb, ga)
+            assert better["pesq"] >= worse["pesq"] - 0.05, (a, b, ga, gb)
 
 
 def test_composite_non_nan(speech16k):
