@@ -526,7 +526,13 @@ def _frame_math(W: Dict[str, Any], st: CellStatics, c: Dict[str, jnp.ndarray],
 
 
 def make_cell_kernel(statics: CellStatics, s_blk: int, chunk: int, mdtype):
-    """Returns the kernel function over refs for grid (s_blocks, chunks)."""
+    """Returns the kernel function over refs for grid (s_blocks, chunks).
+
+    Frames iterate via lax.fori_loop (not Python unrolling): the Mosaic
+    compile time of the unrolled body grows superlinearly with
+    s_blk x chunk (>15 min at 512x8), while the loop form compiles the
+    body once and costs only an in-kernel branch per frame.
+    """
     n_w = len(WKEYS)
     n_c = len(CKEYS)
 
@@ -544,13 +550,21 @@ def make_cell_kernel(statics: CellStatics, s_blk: int, chunk: int, mdtype):
                 co[...] = ci[...]
 
         W = {k: r[...] for k, r in zip(WKEYS, wrefs)}
-        c = {k: co[...] for (k, _), co in zip(CKEYS, cout)}
-        for f in range(chunk):
-            frame = audio_ref[:, f * HOP : (f + 1) * HOP]
+        c0 = tuple(co[...] for co in cout)
+
+        def body(f, carry):
+            c = {k: v for (k, _), v in zip(CKEYS, carry)}
+            # audio refs are [s_blk, chunk, HOP]: indexing the frame on a
+            # non-lane dimension keeps the access 128-aligned (a dynamic
+            # lane offset of f*480 cannot be proven aligned)
+            frame = audio_ref[:, f, :]
             c, out = _frame_math(W, statics, c, frame, mdtype)
-            aout_ref[:, f * HOP : (f + 1) * HOP] = out
-        for (k, _), co in zip(CKEYS, cout):
-            co[...] = c[k]
+            aout_ref[:, f, :] = out
+            return tuple(c[k] for k, _ in CKEYS)
+
+        c_final = jax.lax.fori_loop(0, chunk, body, c0)
+        for (k, _), co, v in zip(CKEYS, cout, c_final):
+            co[...] = v
 
     return kernel
 
@@ -575,8 +589,9 @@ def cell_process(audio, carry, weights, statics: CellStatics, s_blk: int,
 
     kernel = make_cell_kernel(statics, s_blk, chunk, mdtype)
 
+    audio = audio.reshape(s, n_frames, HOP)
     audio_spec = pl.BlockSpec(
-        (s_blk, chunk * HOP), lambda i, j: (i, j), memory_space=pltpu.VMEM
+        (s_blk, chunk, HOP), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
     )
     carry_specs = [
         pl.BlockSpec((s_blk, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
@@ -591,7 +606,7 @@ def cell_process(audio, carry, weights, statics: CellStatics, s_blk: int,
         for k in WKEYS
     ]
     out_shapes = tuple(
-        [jax.ShapeDtypeStruct((s, t), jnp.float32)]
+        [jax.ShapeDtypeStruct((s, n_frames, HOP), jnp.float32)]
         + [jax.ShapeDtypeStruct((s, d), jnp.float32) for _, d in CKEYS]
     )
     out_specs = tuple([audio_spec] + carry_specs)
@@ -614,6 +629,6 @@ def cell_process(audio, carry, weights, statics: CellStatics, s_blk: int,
     carry_in = [carry[k] for k, _ in CKEYS]
     w_in = [weights[k] for k in WKEYS]
     outs = fn(audio, *carry_in, *w_in)
-    out_audio = outs[0]
+    out_audio = outs[0].reshape(s, t)
     new_carry = {k: v for (k, _), v in zip(CKEYS, outs[1:])}
     return new_carry, out_audio

@@ -294,6 +294,9 @@ def main(argv=None):
     parser.add_argument("--atten-lim", type=float, default=0.0)
     parser.add_argument("--max-streams", type=int, default=16)
     parser.add_argument("--batch-window-ms", type=float, default=1.0)
+    parser.add_argument("--ws-port", type=int, default=0,
+                        help="also serve a WebSocket bridge + browser demo "
+                             "page on this port (serve_ws.py)")
     args = parser.parse_args(argv)
     model, df_state, _ = init_df(args.model_base_dir, post_filter=args.pf)
     rp = RuntimeParams(atten_lim_db=args.atten_lim,
@@ -303,6 +306,11 @@ def main(argv=None):
                           batch_window_ms=args.batch_window_ms)
     server.start()
     print(f"Serving on {args.host}:{args.port} (frame = {df_state.hop_size} samples)")
+    if args.ws_port:
+        from deepfilternet_tpu.serve_ws import WsBridge
+
+        WsBridge(server, args.host, args.ws_port).start()
+        print(f"Browser demo + WebSocket bridge on http://{args.host}:{args.ws_port}/")
     try:
         threading.Event().wait()
     except KeyboardInterrupt:
