@@ -53,20 +53,38 @@ def main():
         sys.exit(f"BENCH_DTYPE must be bf16 or f32, got {dt_name!r}")
     dtype = jnp.float32 if dt_name == "f32" else jnp.bfloat16
     unroll = int(os.environ.get("BENCH_UNROLL", "1"))
-    runtime = os.environ.get("BENCH_RUNTIME", "pallas")
+    # Default is the per-frame scan runtime: best measured config on chip
+    # (58k @ S=4096 bf16). The whole-cell Pallas kernel currently tops out
+    # at 53.7k (s_blk=512, chunk=4, t_major) — see PERF.md; keep it opt-in
+    # until it beats the scan.
+    runtime = os.environ.get("BENCH_RUNTIME", "scan")
     log(f"runtime: {runtime} dtype: {dtype.__name__} unroll: {unroll}")
-    if runtime == "pallas":
+    if runtime == "xcell":
+        # packed-carry XLA scan over the prefolded SSA cell
+        # (ops/pallas_cell.py cell_process_xla)
+        from deepfilternet_tpu.streaming_pallas import PallasStreamingRuntime
+
+        rt = PallasStreamingRuntime(
+            model, df_state, matmul_dtype=dtype, backend="xla",
+            chunk=int(os.environ.get("BENCH_CHUNK", "8")),
+        )
+    elif runtime == "pallas":
         # whole-cell fused kernel (ops/pallas_cell.py): frames loop inside
         # one Pallas program, weights VMEM-resident per stream block
         from deepfilternet_tpu.streaming_pallas import PallasStreamingRuntime
 
         rt = PallasStreamingRuntime(
             model, df_state, matmul_dtype=dtype,
-            s_blk=int(os.environ.get("BENCH_SBLK", "128")),
-            chunk=int(os.environ.get("BENCH_CHUNK", "8")),
+            s_blk=int(os.environ.get("BENCH_SBLK", "512")),
+            chunk=int(os.environ.get("BENCH_CHUNK", "4")),
+            t_major=os.environ.get("BENCH_TMAJOR", "1") == "1",
         )
     else:
-        rt = StreamingRuntime(model, df_state, dtype=dtype, unroll=unroll)
+        rt = StreamingRuntime(
+            model, df_state, dtype=dtype, unroll=unroll,
+            fused=os.environ.get("BENCH_FUSED", "0") == "1",
+            use_pallas=os.environ.get("BENCH_PFRONTEND", "0") == "1",
+        )
 
     # 4096 streams amortize the scan's fixed per-iteration overhead better
     # than 2048 (+19% aggregate RTF same-day); 2 s of audio is enough for a

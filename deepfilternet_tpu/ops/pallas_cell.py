@@ -69,19 +69,23 @@ class CellStatics(NamedTuple):
     gate_lsnr_min: float
     gate_lsnr_max_erb: float
     gate_lsnr_max_df: float
+    # perf-ablation switch ("" = full cell): "frontend" skips the model
+    # (spec passthrough), "model" skips DFT/synthesis (frame passthrough).
+    # Never use outside benchmarking.
+    ablate: str = ""
 
 
 # ordered weight keys; the kernel receives them as refs in this order
 WKEYS: List[str] = [
     "dft",        # [960, 1024]  cols 0:512 cos, 512:1024 sin (F padded)
-    "imult",      # [1, 1024]    f32 row scaling turning dft^T into the iDFT
+    "imult_re",   # [1, 512]     f32 row scalings turning dft^T into the iDFT
+    "imult_im",   # [1, 512]
     "erb_fwd",    # [512, 32]
     "erb_inv",    # [32, 512]
     "e0_w", "e0_b", "e1_w", "e1_b", "e2_w", "e2_b", "e3_w", "e3_b",
-    "c0_w", "c0_b", "c1_w", "c1_b", "gl_w",
+    "c0w_t0", "c0w_t1", "c0w_t2", "c0_b", "c1_w", "c1_b", "gl_w",
     "p3_w", "p3_b", "t3_w", "t3_b", "p2_w", "p2_b", "t2_w", "t2_b",
     "p1_w", "p1_b", "t1_w", "t1_b", "p0_w", "p0_b", "out_w", "out_b",
-    "p_demb",
     "enc_lin_in", "enc_wih", "enc_whh", "enc_bih", "enc_bhh", "enc_lin_out",
     "lsnr_w", "lsnr_b",
     "dec_lin_in", "dec_wih", "dec_whh", "dec_bih", "dec_bhh", "dec_lin_out",
@@ -176,8 +180,9 @@ def build_cell_weights(model, df_state, rt_params, matmul_dtype=jnp.bfloat16,
     mult[0] = 1.0
     mult[NFREQ - 1] = 1.0
     mult[NFREQ:] = 0.0
-    imult = np.concatenate([mult, mult]) / _wnorm(FFT, HOP)
-    W["imult"] = imult[None, :].astype(np.float32)
+    imult = (mult / _wnorm(FFT, HOP)).astype(np.float32)
+    W["imult_re"] = imult[None, :]
+    W["imult_im"] = imult[None, :].copy()
 
     widths = df_state.erb_widths
     erb_f = np.asarray(erb_fb_matrices(widths, normalized=True, inverse=False))
@@ -200,9 +205,11 @@ def build_cell_weights(model, df_state, rt_params, matmul_dtype=jnp.bfloat16,
         wb(dst, src)
     # pad c0's 16 channel blocks from 96 to BLK lanes so the kernel can
     # view it [S, 16, BLK] (Mosaic lane splits need multiples of 128); c1
-    # absorbs the matching zero input rows
+    # absorbs the matching zero input rows. The fold is then split per
+    # context frame t: c0 = sum_t fs_t @ c0w_t with fs_t = [re_t | im_t],
+    # so the kernel never materializes the 3-frame window.
     nb_df_ = cfg["nb_df"]
-    c0w, c0b = W["c0_w"], W["c0_b"]
+    c0w, c0b = W.pop("c0_w"), W["c0_b"]
     c0w_p = np.zeros((c0w.shape[0], ch * BLK), np.float32)
     c0b_p = np.zeros((1, ch * BLK), np.float32)
     c1w_p = np.zeros((ch * BLK, W["c1_w"].shape[1]), np.float32)
@@ -212,9 +219,19 @@ def build_cell_weights(model, df_state, rt_params, matmul_dtype=jnp.bfloat16,
         c0w_p[:, dst_sl] = c0w[:, src_sl]
         c0b_p[:, dst_sl] = c0b[:, src_sl]
         c1w_p[dst_sl, :] = W["c1_w"][src_sl, :]
-    W["c0_w"], W["c0_b"], W["c1_w"] = c0w_p, c0b_p, c1w_p
+    for t in range(3):
+        # window rows for frame t: (re channel, t, :) and (im channel, t, :)
+        W[f"c0w_t{t}"] = np.concatenate(
+            [c0w_p[t * nb_df_ : (t + 1) * nb_df_],
+             c0w_p[3 * nb_df_ + t * nb_df_ : 3 * nb_df_ + (t + 1) * nb_df_]],
+            axis=0,
+        )  # [192, 2048]
+    W["c0_b"], W["c1_w"] = c0b_p, c1w_p
     W["gl_w"] = np.asarray(F["gl"])
-    W["p_demb"] = np.asarray(F["p_demb"])
+    # (F,C)->(C,F) permutation for the decoder embedding path: ReLU
+    # commutes with a permutation, so it folds into dec_lin_out's columns
+    # (applied after gru_block below)
+    p_demb = np.asarray(F["p_demb"])
     # conv3p consumes e3, which the fused fold emits (F,C)-flat: fold the
     # (F,C)->(C,F) permutation into conv3p's input rows (free at build time,
     # replaces the runtime e3_cf transpose of dfnet3_fused.py:234-237)
@@ -247,6 +264,7 @@ def build_cell_weights(model, df_state, rt_params, matmul_dtype=jnp.bfloat16,
     L = cfg["layers"]
     gru_block("enc", params["enc_emb_gru"], L["enc_emb_gru"])
     gru_block("dec", params["dec_emb_gru"], L["dec_emb_gru"])
+    W["dec_lin_out"] = W["dec_lin_out"] @ p_demb
     gru_block("df", params["df_gru"], L["df_gru"])
     assert L["df_gru"]["num_layers"] == 3 and L["enc_emb_gru"]["num_layers"] == 1
     assert L["dec_emb_gru"]["num_layers"] == 1
@@ -336,61 +354,137 @@ def _gru_cell(h, gi, ghw, b_hh, mm):
     return (1.0 - z) * n + z * h
 
 
-def _frame_math(W: Dict[str, Any], st: CellStatics, c: Dict[str, jnp.ndarray],
-                frame: jnp.ndarray, mdtype) -> Tuple[Dict[str, jnp.ndarray], jnp.ndarray]:
-    """Pure-jnp one-frame computation on values.
+def _carry_split(c):
+    """HBM flat-carry dict -> per-frame SSA state dict (views/concats done
+    once per chunk; inside the frame loop state arrays are only REBOUND,
+    never shifted — the zero-copy formulation that removed ~40% of the
+    per-frame cost of the first kernel version)."""
+    e = 32
+    s = {
+        "prev_hop": c["amem"],          # [S, 480] == last input hop (fft = 2*hop)
+        "smem": c["smem"],              # [S, 480] OLA tail
+        "mean": c["norms"][:, :e],
+        "unit": c["norms"][:, e:],
+        "sil": c["sil"],
+        "erb_a": c["erb_ctx"][:, :e],   # feat_erb at t-2
+        "erb_b": c["erb_ctx"][:, e:],   # feat_erb at t-1
+        # feat_spec frames as [re | im] pairs (t-2, t-1)
+        "fs_a": jnp.concatenate(
+            [c["spec_ctx"][:, :96], c["spec_ctx"][:, 192:288]], axis=-1),
+        "fs_b": jnp.concatenate(
+            [c["spec_ctx"][:, 96:192], c["spec_ctx"][:, 288:]], axis=-1),
+        "enc_h": c["enc_h"],
+        "dec_h": c["dec_h"],
+    }
+    for li in range(3):
+        s[f"dfh{li}"] = c["df_h"][:, li * 256 : (li + 1) * 256]
+    for n in range(4):
+        s[f"r{n}_re"] = c["ring_re"][:, n * BLK : (n + 1) * BLK]
+        s[f"r{n}_im"] = c["ring_im"][:, n * BLK : (n + 1) * BLK]
+    return s
 
-    c: carry dict (f32 values). frame: [S, hop] f32.
-    Returns (new carry dict, out frame [S, hop] f32). Used verbatim inside
-    the Pallas kernel; also runs under jit for CPU parity tests.
+
+def _carry_join(s):
+    """Inverse of _carry_split."""
+    return {
+        "amem": s["prev_hop"],
+        "smem": s["smem"],
+        "norms": jnp.concatenate([s["mean"], s["unit"]], axis=-1),
+        "sil": s["sil"],
+        "erb_ctx": jnp.concatenate([s["erb_a"], s["erb_b"]], axis=-1),
+        "spec_ctx": jnp.concatenate(
+            [s["fs_a"][:, :96], s["fs_b"][:, :96],
+             s["fs_a"][:, 96:], s["fs_b"][:, 96:]], axis=-1),
+        "enc_h": s["enc_h"],
+        "dec_h": s["dec_h"],
+        "df_h": jnp.concatenate([s["dfh0"], s["dfh1"], s["dfh2"]], axis=-1),
+        "ring_re": jnp.concatenate(
+            [s[f"r{n}_re"] for n in range(4)], axis=-1),
+        "ring_im": jnp.concatenate(
+            [s[f"r{n}_im"] for n in range(4)], axis=-1),
+    }
+
+
+def _frame_step(W: Dict[str, Any], st: CellStatics, s: Dict[str, jnp.ndarray],
+                frame: jnp.ndarray, mdtype
+                ) -> Tuple[Dict[str, jnp.ndarray], jnp.ndarray]:
+    """One frame on SSA state (see _carry_split). frame: [S, hop] f32.
+
+    All rolling windows (analysis memory, conv feature contexts, DF ring)
+    advance by REBINDING state keys; the only per-frame concatenations are
+    lane-width <= 192. Window matmuls are split per context frame so no
+    window tensor is ever materialized:
+      * analysis DFT: prev_hop @ dft[:480] + frame @ dft[480:]
+      * df_conv0 fold: fs_{t-2} @ c0w_t0 + fs_{t-1} @ c0w_t1 + fs_t @ c0w_t2
+      * synthesis iDFT: separate re/im dots against the transposed DFT.
     """
     relu = jax.nn.relu
     nb_df = st.nb_df
-    e = st.nb_erb
+    n_rows = frame.shape[0]
 
     def mm(x, w):
         return jnp.dot(x.astype(mdtype), w, preferred_element_type=jnp.float32)
 
-    nc = dict(c)
+    def mm_t(x, w):  # x [S,K] contracted with w [N,K] -> [S,N]
+        return jax.lax.dot_general(
+            x.astype(mdtype), w, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
 
-    # -- analysis (windowed real-DFT, wnorm folded into the matrix)
-    buf = jnp.concatenate([c["amem"], frame], axis=-1)  # [S, 960]
-    nc["amem"] = buf[:, HOP:]
-    spec2 = mm(buf, W["dft"])  # [S, 1024]
-    spec_re = spec2[:, :FPAD]
-    spec_im = spec2[:, FPAD:]
+    ns = dict(s)
+    lane_mask = (
+        jax.lax.broadcasted_iota(jnp.int32, (1, BLK), 1) < nb_df
+    ).astype(jnp.float32)
+
+    # -- analysis: windowed real-DFT split over [prev_hop | frame]
+    if st.ablate == "model":  # perf ablation: skip the DFT matmuls
+        spec_re = jnp.concatenate([s["prev_hop"], frame[:, :32]], -1) * 0.01
+        spec_im = jnp.concatenate([frame, s["prev_hop"][:, :32]], -1) * 0.01
+    else:
+        spec2 = mm(s["prev_hop"], W["dft"][:HOP]) + mm(frame, W["dft"][HOP:])
+        spec_re = spec2[:, :FPAD]
+        spec_im = spec2[:, FPAD:]
+    ns["prev_hop"] = frame
 
     # -- features (feat_erb / feat_cplx with exponential norms)
     power = spec_re * spec_re + spec_im * spec_im  # [S, 512]
     erb_db = 10.0 * jnp.log10(mm(power, W["erb_fwd"]) + 1e-10)  # [S, 32]
-    mean = c["norms"][:, :e]
-    unit = c["norms"][:, e:]
     a = st.alpha
-    new_mean = erb_db * (1.0 - a) + mean * a
+    new_mean = erb_db * (1.0 - a) + s["mean"] * a
     feat_erb = (erb_db - new_mean) / 40.0
     mag_lo = jnp.sqrt(power[:, :nb_df])
-    new_unit = mag_lo * (1.0 - a) + unit[:, :nb_df] * a
-    nc["norms"] = jnp.concatenate([new_mean, new_unit], axis=-1)
+    new_unit = mag_lo * (1.0 - a) + s["unit"] * a
+    ns["mean"], ns["unit"] = new_mean, new_unit
     un_scale = jax.lax.rsqrt(new_unit)
-    fs_re = spec_re[:, :nb_df] * un_scale
-    fs_im = spec_im[:, :nb_df] * un_scale
+    fs_cur = jnp.concatenate(
+        [spec_re[:, :nb_df] * un_scale, spec_im[:, :nb_df] * un_scale], -1
+    )  # [S, 192]
 
-    # -- conv frontend (dense folds; layouts per dfnet3_fused.build_fused)
-    erb_win = jnp.concatenate([c["erb_ctx"], feat_erb], axis=-1)  # [S, 96]
-    nc["erb_ctx"] = erb_win[:, e:]
-    sc = c["spec_ctx"]  # [S, 384]: (c, t, f) for 2 past frames
-    spec_win = jnp.concatenate(
-        [sc[:, :192], fs_re, sc[:, 192:], fs_im], axis=-1
-    )  # [S, 576]: (c, t, f) over 3 frames
-    nc["spec_ctx"] = jnp.concatenate(
-        [spec_win[:, 96:288], spec_win[:, 384:576]], axis=-1
-    )
+    erb_a, erb_b, fs_a, fs_b = s["erb_a"], s["erb_b"], s["fs_a"], s["fs_b"]
+    ns["erb_a"], ns["erb_b"] = erb_b, feat_erb
+    ns["fs_a"], ns["fs_b"] = fs_b, fs_cur
+    cur_re = spec_re[:, :BLK] * lane_mask
+    cur_im = spec_im[:, :BLK] * lane_mask
 
+    if st.ablate == "frontend":
+        # perf ablation: unit mask, passthrough DF
+        m = jnp.ones_like(feat_erb)
+        lsnr = jnp.zeros((n_rows, 1), jnp.float32)
+        y_re, y_im = cur_re, cur_im
+        for n in range(3):
+            ns[f"r{n}_re"], ns[f"r{n}_im"] = s[f"r{n+1}_re"], s[f"r{n+1}_im"]
+        ns["r3_re"], ns["r3_im"] = cur_re, cur_im
+        return _frame_tail(W, st, ns, s, frame, m, lsnr, y_re, y_im,
+                           spec_re, spec_im, mdtype)
+
+    # -- conv frontend (dense folds, windows split per context frame)
+    erb_win = jnp.concatenate([erb_a, erb_b, feat_erb], axis=-1)  # [S, 96]
     e0 = relu(mm(erb_win, W["e0_w"]) + W["e0_b"])     # [S, 512]
     e1 = relu(mm(e0, W["e1_w"]) + W["e1_b"])          # [S, 256]
     e2 = relu(mm(e1, W["e2_w"]) + W["e2_b"])          # [S, 128]
     e3 = relu(mm(e2, W["e3_w"]) + W["e3_b"])          # [S, 128] (F,C) flat
-    c0 = relu(mm(spec_win, W["c0_w"]) + W["c0_b"])    # [S, 1536] (C,F) flat
+    c0 = relu(mm(fs_a, W["c0w_t0"]) + mm(fs_b, W["c0w_t1"])
+              + mm(fs_cur, W["c0w_t2"]) + W["c0_b"])  # [S, 2048] (C,F) padded
     c1 = relu(mm(c0, W["c1_w"]) + W["c1_b"])          # [S, 768] (F,C) flat
     cemb = relu(mm(c1, W["gl_w"]))                    # [S, 128]
     emb = e3 + cemb
@@ -398,19 +492,18 @@ def _frame_math(W: Dict[str, Any], st: CellStatics, c: Dict[str, jnp.ndarray],
     # -- encoder GRU + lsnr head
     xin = relu(mm(emb, W["enc_lin_in"]))
     gi = mm(xin, W["enc_wih"]) + W["enc_bih"]
-    enc_h = _gru_cell(c["enc_h"], gi, W["enc_whh"], W["enc_bhh"], mm)
-    nc["enc_h"] = enc_h
+    enc_h = _gru_cell(s["enc_h"], gi, W["enc_whh"], W["enc_bhh"], mm)
+    ns["enc_h"] = enc_h
     emb = relu(mm(enc_h, W["enc_lin_out"]))           # [S, 128]
     lsnr = jax.nn.sigmoid(mm(emb, W["lsnr_w"]) + W["lsnr_b"])
     lsnr = lsnr * (st.lsnr_max - st.lsnr_min) + st.lsnr_min  # [S, 1]
 
-    # -- erb decoder
+    # -- erb decoder (p_demb permutation folded into dec_lin_out)
     xdec = relu(mm(emb, W["dec_lin_in"]))
     gid = mm(xdec, W["dec_wih"]) + W["dec_bih"]
-    dec_h = _gru_cell(c["dec_h"], gid, W["dec_whh"], W["dec_bhh"], mm)
-    nc["dec_h"] = dec_h
-    demb = relu(mm(dec_h, W["dec_lin_out"]))          # [S, 128] (F,C) flat
-    demb_cf = mm(demb, W["p_demb"])                   # (C,F) flat
+    dec_h = _gru_cell(s["dec_h"], gid, W["dec_whh"], W["dec_bhh"], mm)
+    ns["dec_h"] = dec_h
+    demb_cf = relu(mm(dec_h, W["dec_lin_out"]))       # [S, 128] (C,F) flat
     d3 = relu(mm(relu(mm(e3, W["p3_w"]) + W["p3_b"]) + demb_cf, W["t3_w"]) + W["t3_b"])
     d2 = relu(mm(relu(mm(e2, W["p2_w"]) + W["p2_b"]) + d3, W["t2_w"]) + W["t2_b"])
     d1 = relu(mm(relu(mm(e1, W["p1_w"]) + W["p1_b"]) + d2, W["t1_w"]) + W["t1_b"])
@@ -419,45 +512,26 @@ def _frame_math(W: Dict[str, Any], st: CellStatics, c: Dict[str, jnp.ndarray],
     )  # [S, 32]
 
     # -- df decoder (3-layer GRU; coefficient heads in (n, ri, f) blocks)
-    xdf = relu(mm(emb, W["df_lin_in"]))
-    h_in = xdf
-    new_df_h = []
+    h_in = relu(mm(emb, W["df_lin_in"]))
     for li in range(3):
         gil = mm(h_in, W[f"df_wih{li}"]) + W[f"df_bih{li}"]
-        h_li = _gru_cell(
-            c["df_h"][:, li * 256 : (li + 1) * 256], gil,
-            W[f"df_whh{li}"], W[f"df_bhh{li}"], mm,
-        )
-        new_df_h.append(h_li)
-        h_in = h_li
-    nc["df_h"] = jnp.concatenate(new_df_h, axis=-1)
+        h_in = _gru_cell(s[f"dfh{li}"], gil, W[f"df_whh{li}"],
+                         W[f"df_bhh{li}"], mm)
+        ns[f"dfh{li}"] = h_in
     coefs_t = jnp.tanh(mm(h_in, W["df_out_w"]))  # [S, O*2*BLK] aligned blocks
-    # df_convp as its true [16 -> 10] channel map: c0 viewed [S, C, BLK] (a
-    # free 128-aligned reshape of its padded (c, f)-flat layout) contracted
-    # over C, emitting [O*2, S, BLK] so each tap's coefficients are a
-    # leading-dim slice
-    s_rows = c0.shape[0]
-    c0v = c0.reshape(s_rows, 16, BLK)
+    c0v = c0.reshape(n_rows, 16, BLK)
     cp = jax.lax.dot_general(
         W["convp_co"], c0v.astype(W["convp_co"].dtype),
         dimension_numbers=(((0,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [O*2, S, BLK]
 
-    # -- deep filter MAC over the ring buffer (tract.rs:724-767); all
-    # blocks BLK-wide with zeros in the 96..128 pad lanes (taps are zero
-    # there, so the MAC output stays zero in the pad)
-    lane_mask = (
-        jax.lax.broadcasted_iota(jnp.int32, (1, BLK), 1) < nb_df
-    ).astype(jnp.float32)
-    y_re = jnp.zeros((s_rows, BLK), jnp.float32)
-    y_im = jnp.zeros((s_rows, BLK), jnp.float32)
-    cur_re = spec_re[:, :BLK] * lane_mask
-    cur_im = spec_im[:, :BLK] * lane_mask
+    # -- deep filter MAC over rebound ring frames (tract.rs:724-767)
+    y_re = jnp.zeros((n_rows, BLK), jnp.float32)
+    y_im = jnp.zeros((n_rows, BLK), jnp.float32)
     for n in range(st.df_order):
         if n < st.df_order - 1:
-            t_re = c["ring_re"][:, n * BLK : (n + 1) * BLK]
-            t_im = c["ring_im"][:, n * BLK : (n + 1) * BLK]
+            t_re, t_im = s[f"r{n}_re"], s[f"r{n}_im"]
         else:
             t_re, t_im = cur_re, cur_im
         c_re = (coefs_t[:, (2 * n) * BLK : (2 * n + 1) * BLK]
@@ -466,10 +540,28 @@ def _frame_math(W: Dict[str, Any], st: CellStatics, c: Dict[str, jnp.ndarray],
                 + relu(cp[2 * n + 1] + W["convp_b"][0, 2 * n + 1]))
         y_re = y_re + t_re * c_re - t_im * c_im
         y_im = y_im + t_re * c_im + t_im * c_re
-    nc["ring_re"] = jnp.concatenate([c["ring_re"][:, BLK:], cur_re], axis=-1)
-    nc["ring_im"] = jnp.concatenate([c["ring_im"][:, BLK:], cur_im], axis=-1)
+    for n in range(3):
+        ns[f"r{n}_re"], ns[f"r{n}_im"] = s[f"r{n+1}_re"], s[f"r{n+1}_im"]
+    ns["r3_re"], ns["r3_im"] = cur_re, cur_im
+    return _frame_tail(W, st, ns, s, frame, m, lsnr, y_re, y_im,
+                       spec_re, spec_im, mdtype)
 
-    # -- ERB mask on the upper bins
+
+def _frame_tail(W, st: CellStatics, ns, s, frame, m, lsnr, y_re, y_im,
+                spec_re, spec_im, mdtype):
+    """Post-model stages: ERB mask, post-filter, LSNR gating, atten-lim,
+    silence skip, split-iDFT synthesis + overlap-add."""
+    nb_df = st.nb_df
+
+    def mm(x, w):
+        return jnp.dot(x.astype(mdtype), w, preferred_element_type=jnp.float32)
+
+    def mm_t(x, w):
+        return jax.lax.dot_general(
+            x.astype(mdtype), w, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
     bin_gains = mm(m, W["erb_inv"])  # [S, 512]
     sm_re = spec_re * bin_gains
     sm_im = spec_im * bin_gains
@@ -488,10 +580,9 @@ def _frame_math(W: Dict[str, Any], st: CellStatics, c: Dict[str, jnp.ndarray],
         se_im = se_im * pf
 
     if st.lsnr_gating:
-        ls = lsnr  # [S, 1]
-        below = ls < st.gate_lsnr_min
-        erb_only = (ls > st.gate_lsnr_max_df) & (ls <= st.gate_lsnr_max_erb)
-        bypass = ls > st.gate_lsnr_max_erb
+        below = lsnr < st.gate_lsnr_min
+        erb_only = (lsnr > st.gate_lsnr_max_df) & (lsnr <= st.gate_lsnr_max_erb)
+        bypass = lsnr > st.gate_lsnr_max_erb
         se_re = jnp.where(below, 0.0, jnp.where(erb_only, sm_re,
                           jnp.where(bypass, spec_re, se_re)))
         se_im = jnp.where(below, 0.0, jnp.where(erb_only, sm_im,
@@ -506,32 +597,36 @@ def _frame_math(W: Dict[str, Any], st: CellStatics, c: Dict[str, jnp.ndarray],
     # overriding the atten-lim mixback like the scan runtime does
     rms = jnp.sqrt(jnp.mean(frame * frame, axis=-1, keepdims=True))  # [S,1]
     quiet = rms < st.silence_thresh
-    ctr = jnp.where(quiet, c["sil"][:, :1] + 1.0, 0.0)
-    nc["sil"] = jnp.concatenate([ctr, c["sil"][:, 1:]], axis=-1)
+    ctr = jnp.where(quiet, s["sil"][:, :1] + 1.0, 0.0)
+    ns["sil"] = jnp.concatenate([ctr, s["sil"][:, 1:]], axis=-1)
     mute = ctr >= st.silence_frames
     se_re = jnp.where(mute, 0.0, se_re)
     se_im = jnp.where(mute, 0.0, se_im)
 
-    # -- synthesis: windowed iDFT as the row-rescaled transposed DFT
-    # matrix (see build_cell_weights), then overlap-add
-    se = jnp.concatenate([se_re, se_im], axis=-1) * W["imult"]  # [S, 1024]
-    x = jax.lax.dot_general(
-        se.astype(mdtype), W["dft"],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [S, 960]
-    out = x[:, :HOP] + c["smem"]
-    nc["smem"] = x[:, HOP:]
-    return nc, out
+    # -- synthesis: windowed iDFT as separate re/im dots against the
+    # row-rescaled transposed DFT matrix, then overlap-add
+    if st.ablate == "model":  # perf ablation: skip synthesis matmuls
+        out = frame * (1.0 + se_re[:, :1] * 0.0)
+        return ns, out
+    x = (mm_t(se_re * W["imult_re"], W["dft"][:, :FPAD])
+         + mm_t(se_im * W["imult_im"], W["dft"][:, FPAD:]))  # [S, 960]
+    out = x[:, :HOP] + s["smem"]
+    ns["smem"] = x[:, HOP:]
+    return ns, out
 
 
-def make_cell_kernel(statics: CellStatics, s_blk: int, chunk: int, mdtype):
+def make_cell_kernel(statics: CellStatics, s_blk: int, chunk: int, mdtype,
+                     t_major: bool = False):
     """Returns the kernel function over refs for grid (s_blocks, chunks).
 
-    Frames iterate via lax.fori_loop (not Python unrolling): the Mosaic
-    compile time of the unrolled body grows superlinearly with
-    s_blk x chunk (>15 min at 512x8), while the loop form compiles the
-    body once and costs only an in-kernel branch per frame.
+    The chunk's frames are unrolled so every rolling window advances by
+    SSA rebinding (zero copies); the HBM carry layout is split/joined once
+    per chunk (_carry_split/_carry_join).
+
+    t_major: audio blocks are [chunk, s_blk, hop] (frames leading). The
+    frame count then sits in a leading block dim, which Mosaic does not
+    constrain — any chunk size works (the [s_blk, chunk, hop] layout needs
+    chunk % 8 == 0), at the cost of a transpose outside the kernel.
     """
     n_w = len(WKEYS)
     n_c = len(CKEYS)
@@ -550,31 +645,66 @@ def make_cell_kernel(statics: CellStatics, s_blk: int, chunk: int, mdtype):
                 co[...] = ci[...]
 
         W = {k: r[...] for k, r in zip(WKEYS, wrefs)}
-        c0 = tuple(co[...] for co in cout)
-
-        def body(f, carry):
-            c = {k: v for (k, _), v in zip(CKEYS, carry)}
-            # audio refs are [s_blk, chunk, HOP]: indexing the frame on a
-            # non-lane dimension keeps the access 128-aligned (a dynamic
-            # lane offset of f*480 cannot be proven aligned)
-            frame = audio_ref[:, f, :]
-            c, out = _frame_math(W, statics, c, frame, mdtype)
-            aout_ref[:, f, :] = out
-            return tuple(c[k] for k, _ in CKEYS)
-
-        c_final = jax.lax.fori_loop(0, chunk, body, c0)
-        for (k, _), co, v in zip(CKEYS, cout, c_final):
-            co[...] = v
+        s = _carry_split({k: co[...] for (k, _), co in zip(CKEYS, cout)})
+        for f in range(chunk):
+            frame = audio_ref[f] if t_major else audio_ref[:, f, :]
+            s, out = _frame_step(W, statics, s, frame, mdtype)
+            if t_major:
+                aout_ref[f] = out
+            else:
+                aout_ref[:, f, :] = out
+        c_final = _carry_join(s)
+        for (k, _), co in zip(CKEYS, cout):
+            co[...] = c_final[k]
 
     return kernel
 
 
 @functools.partial(
+    jax.jit, static_argnames=("statics", "chunk", "mdtype")
+)
+def cell_process_xla(audio, carry, weights, statics: CellStatics, chunk: int,
+                     mdtype=jnp.bfloat16):
+    """XLA-scan variant of the whole-cell pipeline.
+
+    Same packed flat carry (CKEYS), prefolded weights, and SSA
+    `_frame_step` as the Pallas kernel, but the frame loop is a
+    `lax.scan` over chunk groups compiled by XLA instead of a Mosaic
+    grid. Versus StreamingRuntime's scan this (a) shuttles a packed
+    lane-aligned carry (~15 KB/stream in 11 wide arrays, instead of a
+    pytree of narrow sublane-padded buffers), (b) advances every rolling
+    window by SSA rebinding (zero copies), and (c) runs the prefolded
+    dense cell (conv windows split per context frame; permutations folded
+    into weights at build time). chunk>1 unrolls frames inside one scan
+    body, amortizing the while-loop fixed cost.
+    """
+    s, t = audio.shape
+    n_frames = t // HOP
+    assert t % HOP == 0 and n_frames % chunk == 0
+    n_ch = n_frames // chunk
+    frames = audio.reshape(s, n_ch, chunk * HOP).swapaxes(0, 1)
+
+    def body(c, a):
+        st = _carry_split(c)
+        outs = []
+        for f in range(chunk):
+            st, o = _frame_step(weights, statics, st,
+                                a[:, f * HOP : (f + 1) * HOP], mdtype)
+            outs.append(o)
+        return _carry_join(st), jnp.concatenate(outs, axis=-1)
+
+    new_c, out = jax.lax.scan(body, carry, frames)
+    return new_c, out.swapaxes(0, 1).reshape(s, t)
+
+
+@functools.partial(
     jax.jit,
-    static_argnames=("statics", "s_blk", "chunk", "mdtype", "interpret"),
+    static_argnames=("statics", "s_blk", "chunk", "mdtype", "interpret",
+                     "t_major"),
 )
 def cell_process(audio, carry, weights, statics: CellStatics, s_blk: int,
-                 chunk: int, mdtype=jnp.bfloat16, interpret: bool = False):
+                 chunk: int, mdtype=jnp.bfloat16, interpret: bool = False,
+                 t_major: bool = False):
     """Run the whole-cell kernel over audio [S, T].
 
     carry: dict of [S, d] f32 arrays (keys/widths per CKEYS).
@@ -587,12 +717,20 @@ def cell_process(audio, carry, weights, statics: CellStatics, s_blk: int,
     n_sb = s // s_blk
     n_ch = n_frames // chunk
 
-    kernel = make_cell_kernel(statics, s_blk, chunk, mdtype)
+    kernel = make_cell_kernel(statics, s_blk, chunk, mdtype, t_major=t_major)
 
-    audio = audio.reshape(s, n_frames, HOP)
-    audio_spec = pl.BlockSpec(
-        (s_blk, chunk, HOP), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
-    )
+    if t_major:
+        audio = audio.reshape(s, n_frames, HOP).swapaxes(0, 1)
+        audio_spec = pl.BlockSpec(
+            (chunk, s_blk, HOP), lambda i, j: (j, i, 0),
+            memory_space=pltpu.VMEM,
+        )
+    else:
+        audio = audio.reshape(s, n_frames, HOP)
+        audio_spec = pl.BlockSpec(
+            (s_blk, chunk, HOP), lambda i, j: (i, j, 0),
+            memory_space=pltpu.VMEM,
+        )
     carry_specs = [
         pl.BlockSpec((s_blk, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
         for _, d in CKEYS
@@ -605,8 +743,9 @@ def cell_process(audio, carry, weights, statics: CellStatics, s_blk: int,
         )
         for k in WKEYS
     ]
+    a_shape = (n_frames, s, HOP) if t_major else (s, n_frames, HOP)
     out_shapes = tuple(
-        [jax.ShapeDtypeStruct((s, n_frames, HOP), jnp.float32)]
+        [jax.ShapeDtypeStruct(a_shape, jnp.float32)]
         + [jax.ShapeDtypeStruct((s, d), jnp.float32) for _, d in CKEYS]
     )
     out_specs = tuple([audio_spec] + carry_specs)
@@ -629,6 +768,9 @@ def cell_process(audio, carry, weights, statics: CellStatics, s_blk: int,
     carry_in = [carry[k] for k, _ in CKEYS]
     w_in = [weights[k] for k in WKEYS]
     outs = fn(audio, *carry_in, *w_in)
-    out_audio = outs[0].reshape(s, t)
+    out_audio = outs[0]
+    if t_major:
+        out_audio = out_audio.swapaxes(0, 1)
+    out_audio = out_audio.reshape(s, t)
     new_carry = {k: v for (k, _), v in zip(CKEYS, outs[1:])}
     return new_carry, out_audio

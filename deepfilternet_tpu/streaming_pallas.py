@@ -12,7 +12,7 @@ construction — use StreamingRuntime for those.
 
 from __future__ import annotations
 
-import math
+import functools
 from typing import Dict, Tuple
 
 import jax
@@ -23,6 +23,7 @@ from deepfilternet_tpu.ops.pallas_cell import (
     CKEYS,
     build_cell_weights,
     cell_process,
+    cell_process_xla,
 )
 from deepfilternet_tpu.streaming import RuntimeParams, StreamCarry, StreamingRuntime
 
@@ -92,6 +93,30 @@ def _largest_divisor_leq(n: int, k: int) -> int:
     return 1
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("statics", "s_blk", "chunk", "mdtype", "interpret",
+                     "t_major", "backend"),
+)
+def _process_jit(audio, carry: StreamCarry, weights, statics, s_blk, chunk,
+                 mdtype, interpret, t_major, backend="pallas"):
+    """One fused dispatch for the whole call: StreamCarry -> flat layout ->
+    whole-cell kernel -> StreamCarry. Keeping the layout shuffles inside
+    the jit matters: run eagerly they are ~30 separate device dispatches
+    per call, which costs more than the kernel itself."""
+    flat = carry_to_flat(carry)
+    if backend == "xla":
+        new_flat, out = cell_process_xla(
+            audio, flat, weights, statics, chunk, mdtype=mdtype,
+        )
+    else:
+        new_flat, out = cell_process(
+            audio, flat, weights, statics, s_blk, chunk,
+            mdtype=mdtype, interpret=interpret, t_major=t_major,
+        )
+    return flat_to_carry(new_flat, carry), out
+
+
 class PallasStreamingRuntime(StreamingRuntime):
     """StreamingRuntime running the fused whole-cell Pallas kernel.
 
@@ -105,7 +130,10 @@ class PallasStreamingRuntime(StreamingRuntime):
 
     def __init__(self, model, df_state, params: RuntimeParams = RuntimeParams(),
                  matmul_dtype=jnp.bfloat16, s_blk: int = 128, chunk: int = 8,
-                 interpret: bool = False):
+                 interpret: bool = False, ablate: str = "",
+                 t_major: bool = False, backend: str = "pallas"):
+        if backend not in ("pallas", "xla"):
+            raise ValueError(f"backend must be 'pallas' or 'xla', got {backend!r}")
         if params.reduce_mask != "none" and params.n_channels > 1:
             raise NotImplementedError(
                 "multichannel mask reduction is not supported by the pallas "
@@ -116,9 +144,13 @@ class PallasStreamingRuntime(StreamingRuntime):
         self.s_blk = s_blk
         self.chunk = chunk
         self.interpret = interpret
+        self.t_major = t_major
+        self.backend = backend
         self.weights, self.statics = build_cell_weights(
             self.model, df_state, params, matmul_dtype, cfg=self.cfg
         )
+        if ablate:  # perf-ablation kernels; never for real output
+            self.statics = self.statics._replace(ablate=ablate)
 
     def process(self, carry: StreamCarry, audio: jnp.ndarray
                 ) -> Tuple[StreamCarry, jnp.ndarray]:
@@ -128,12 +160,11 @@ class PallasStreamingRuntime(StreamingRuntime):
         n_frames = t // hop
         s_blk = self.s_blk if s % self.s_blk == 0 else _largest_divisor_leq(s, self.s_blk)
         chunk = _largest_divisor_leq(n_frames, self.chunk)
-        flat = carry_to_flat(carry)
-        new_flat, out = cell_process(
-            jnp.asarray(audio, jnp.float32), flat, self.weights, self.statics,
-            s_blk, chunk, mdtype=self.matmul_dtype, interpret=self.interpret,
+        return _process_jit(
+            jnp.asarray(audio, jnp.float32), carry, self.weights, self.statics,
+            s_blk, chunk, self.matmul_dtype, self.interpret, self.t_major,
+            self.backend,
         )
-        return flat_to_carry(new_flat, carry), out
 
     def process_frame(self, carry: StreamCarry, frame: jnp.ndarray):
         return self.process(carry, frame)

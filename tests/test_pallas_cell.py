@@ -52,6 +52,15 @@ def test_output_parity(model):
     )
 
 
+def test_output_parity_t_major(model):
+    """Time-major audio layout (frames-leading blocks) is bit-equivalent
+    in frame math; only the block transfer pattern differs."""
+    (cr, out_ref), (cp, out_p) = _run_pair(model, t_major=True)
+    np.testing.assert_allclose(
+        np.asarray(out_p), np.asarray(out_ref), atol=2e-4, rtol=1e-3
+    )
+
+
 def test_carry_parity(model):
     (cr, _), (cp, _) = _run_pair(model)
     for name in ("analysis_mem", "synthesis_mem", "mean_norm", "unit_norm"):
@@ -115,3 +124,37 @@ def test_reduce_mask_unsupported(model):
         PallasStreamingRuntime(
             m, df_state, RuntimeParams(reduce_mask="max", n_channels=2)
         )
+
+
+def test_output_parity_xla_backend(model):
+    """cell_process_xla (packed-carry lax.scan, no Mosaic) matches the
+    reference runtime, including carried state and RuntimeParams stages."""
+    params = RuntimeParams(atten_lim_db=12.0, lsnr_gating=True)
+    (cr, out_ref), (cp, out_p) = _run_pair(model, params=params,
+                                           backend="xla")
+    np.testing.assert_allclose(
+        np.asarray(out_p), np.asarray(out_ref), atol=2e-4, rtol=1e-3
+    )
+    for name in ("analysis_mem", "synthesis_mem", "mean_norm", "unit_norm"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(cp, name)), np.asarray(getattr(cr, name)),
+            atol=2e-4, rtol=1e-3, err_msg=name,
+        )
+
+
+def test_chunk_continuity_xla_backend(model):
+    m, df_state, _ = model
+    audio = _audio(2, 8, seed=3)
+    prt = PallasStreamingRuntime(
+        m, df_state, matmul_dtype=jnp.float32, s_blk=2, chunk=4,
+        backend="xla",
+    )
+    c1 = prt.init(2)
+    _, o_full = prt.process(c1, audio)
+    c2 = prt.init(2)
+    c2, o_a = prt.process(c2, audio[:, : 4 * HOP])
+    _, o_b = prt.process(c2, audio[:, 4 * HOP :])
+    np.testing.assert_allclose(
+        np.asarray(jnp.concatenate([o_a, o_b], -1)), np.asarray(o_full),
+        atol=1e-5, rtol=1e-5,
+    )
