@@ -330,7 +330,13 @@ def build_cell_weights(model, df_state, rt_params, matmul_dtype=jnp.bfloat16,
         gate_lsnr_max_df=float(rt_params.lsnr_max_df),
     )
     def _is_bias(k: str) -> bool:
-        return ("_b" in k and not k.endswith("_w")) or k == "imult"
+        # f32-pinned: the iDFT row scalings (multiply the f32 spectrum on
+        # the output path) and convp_b (scalar-indexed in the DF MAC —
+        # Mosaic can neither extract a bf16 scalar nor broadcast [1,1] to
+        # both axes). Other biases ride the mdtype trunk — a bias that
+        # stays f32 would silently promote every activation after it back
+        # to f32, doubling VMEM/traffic for the whole chain.
+        return k.startswith("imult") or k == "convp_b"
 
     wj = {
         k: jnp.asarray(v, jnp.float32 if _is_bias(k) else matmul_dtype)
@@ -345,13 +351,18 @@ def build_cell_weights(model, df_state, rt_params, matmul_dtype=jnp.bfloat16,
 
 
 def _gru_cell(h, gi, ghw, b_hh, mm):
+    # gate math runs f32 regardless of the trunk dtype: the TPU VPU
+    # computes transcendentals at 32 bit anyway, and Mosaic rejects
+    # sigmoid/tanh lowerings over bf16 vectors (weak-f32 scalar
+    # broadcasts in their decompositions). Only matmul operands narrow.
+    f32 = jnp.float32
     gh = mm(h, ghw) + b_hh
     i_r, i_z, i_n = jnp.split(gi, 3, axis=-1)
     h_r, h_z, h_n = jnp.split(gh, 3, axis=-1)
-    r = jax.nn.sigmoid(i_r + h_r)
-    z = jax.nn.sigmoid(i_z + h_z)
-    n = jnp.tanh(i_n + r * h_n)
-    return (1.0 - z) * n + z * h
+    r = jax.nn.sigmoid((i_r + h_r).astype(f32))
+    z = jax.nn.sigmoid((i_z + h_z).astype(f32))
+    n = jnp.tanh(i_n.astype(f32) + r * h_n.astype(f32))
+    return (1.0 - z) * n + z * h.astype(f32)
 
 
 def _carry_split(c):
@@ -418,18 +429,27 @@ def _frame_step(W: Dict[str, Any], st: CellStatics, s: Dict[str, jnp.ndarray],
       * df_conv0 fold: fs_{t-2} @ c0w_t0 + fs_{t-1} @ c0w_t1 + fs_t @ c0w_t2
       * synthesis iDFT: separate re/im dots against the transposed DFT.
     """
-    relu = jax.nn.relu
+    def relu(x):  # dtype-pinned zero (Mosaic rejects weak-f32 broadcasts)
+        return jnp.maximum(x, jnp.asarray(0.0, x.dtype))
+
     nb_df = st.nb_df
     n_rows = frame.shape[0]
 
+    # Model-trunk matmuls emit mdtype (bf16 in production): activations
+    # between layers never widen to f32, halving VMEM pressure and
+    # vector-memory traffic. The MXU still accumulates in f32 internally;
+    # only the stored result is rounded. f32-critical paths (spectrum,
+    # features feeding carried norms, LSNR head, mask-to-bin-gains) use
+    # mmf explicitly.
     def mm(x, w):
-        return jnp.dot(x.astype(mdtype), w, preferred_element_type=jnp.float32)
+        # f32 MXU accumulate (Mosaic requires a 32-bit acc), result stored
+        # narrow — the cast is fused into the matmul epilogue
+        return jnp.dot(
+            x.astype(mdtype), w, preferred_element_type=jnp.float32
+        ).astype(mdtype)
 
-    def mm_t(x, w):  # x [S,K] contracted with w [N,K] -> [S,N]
-        return jax.lax.dot_general(
-            x.astype(mdtype), w, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+    def mmf(x, w):
+        return jnp.dot(x.astype(mdtype), w, preferred_element_type=jnp.float32)
 
     ns = dict(s)
     lane_mask = (
@@ -441,14 +461,14 @@ def _frame_step(W: Dict[str, Any], st: CellStatics, s: Dict[str, jnp.ndarray],
         spec_re = jnp.concatenate([s["prev_hop"], frame[:, :32]], -1) * 0.01
         spec_im = jnp.concatenate([frame, s["prev_hop"][:, :32]], -1) * 0.01
     else:
-        spec2 = mm(s["prev_hop"], W["dft"][:HOP]) + mm(frame, W["dft"][HOP:])
+        spec2 = mmf(s["prev_hop"], W["dft"][:HOP]) + mmf(frame, W["dft"][HOP:])
         spec_re = spec2[:, :FPAD]
         spec_im = spec2[:, FPAD:]
     ns["prev_hop"] = frame
 
     # -- features (feat_erb / feat_cplx with exponential norms)
     power = spec_re * spec_re + spec_im * spec_im  # [S, 512]
-    erb_db = 10.0 * jnp.log10(mm(power, W["erb_fwd"]) + 1e-10)  # [S, 32]
+    erb_db = 10.0 * jnp.log10(mmf(power, W["erb_fwd"]) + 1e-10)  # [S, 32]
     a = st.alpha
     new_mean = erb_db * (1.0 - a) + s["mean"] * a
     feat_erb = (erb_db - new_mean) / 40.0
@@ -495,7 +515,7 @@ def _frame_step(W: Dict[str, Any], st: CellStatics, s: Dict[str, jnp.ndarray],
     enc_h = _gru_cell(s["enc_h"], gi, W["enc_whh"], W["enc_bhh"], mm)
     ns["enc_h"] = enc_h
     emb = relu(mm(enc_h, W["enc_lin_out"]))           # [S, 128]
-    lsnr = jax.nn.sigmoid(mm(emb, W["lsnr_w"]) + W["lsnr_b"])
+    lsnr = jax.nn.sigmoid(mmf(emb, W["lsnr_w"]) + W["lsnr_b"])
     lsnr = lsnr * (st.lsnr_max - st.lsnr_min) + st.lsnr_min  # [S, 1]
 
     # -- erb decoder (p_demb permutation folded into dec_lin_out)
@@ -508,8 +528,8 @@ def _frame_step(W: Dict[str, Any], st: CellStatics, s: Dict[str, jnp.ndarray],
     d2 = relu(mm(relu(mm(e2, W["p2_w"]) + W["p2_b"]) + d3, W["t2_w"]) + W["t2_b"])
     d1 = relu(mm(relu(mm(e1, W["p1_w"]) + W["p1_b"]) + d2, W["t1_w"]) + W["t1_b"])
     m = jax.nn.sigmoid(
-        mm(relu(mm(e0, W["p0_w"]) + W["p0_b"]) + d1, W["out_w"]) + W["out_b"]
-    )  # [S, 32]
+        mmf(relu(mm(e0, W["p0_w"]) + W["p0_b"]) + d1, W["out_w"]) + W["out_b"]
+    )  # [S, 32] f32 (sigmoid/tanh over bf16 don't lower in Mosaic)
 
     # -- df decoder (3-layer GRU; coefficient heads in (n, ri, f) blocks)
     h_in = relu(mm(emb, W["df_lin_in"]))
@@ -518,7 +538,7 @@ def _frame_step(W: Dict[str, Any], st: CellStatics, s: Dict[str, jnp.ndarray],
         h_in = _gru_cell(s[f"dfh{li}"], gil, W[f"df_whh{li}"],
                          W[f"df_bhh{li}"], mm)
         ns[f"dfh{li}"] = h_in
-    coefs_t = jnp.tanh(mm(h_in, W["df_out_w"]))  # [S, O*2*BLK] aligned blocks
+    coefs_t = jnp.tanh(mmf(h_in, W["df_out_w"]))  # [S, O*2*BLK] aligned blocks
     c0v = c0.reshape(n_rows, 16, BLK)
     cp = jax.lax.dot_general(
         W["convp_co"], c0v.astype(W["convp_co"].dtype),
@@ -760,8 +780,9 @@ def cell_process(audio, carry, weights, statics: CellStatics, s_blk: int,
             dimension_semantics=("arbitrary", "arbitrary"),
             # weights (~14 MB bf16) + streamed audio + carry exceed the
             # default 16 MiB *scoped* VMEM limit; v5e physical VMEM is
-            # larger, so raise the cap for this kernel
-            vmem_limit_bytes=100 * 1024 * 1024,
+            # 128 MiB, so raise the cap for this kernel (leave headroom
+            # for XLA-pinned operands of the surrounding program)
+            vmem_limit_bytes=114 * 1024 * 1024,
         ),
         interpret=interpret,
     )
