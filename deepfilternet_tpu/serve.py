@@ -263,10 +263,13 @@ class StreamClient:
     """Minimal client mirroring the C API surface (df_create /
     df_process_frame / df_free; capi.rs:82-253)."""
 
-    def __init__(self, host="127.0.0.1", port=7860, timeout=120.0):
+    def __init__(self, host="127.0.0.1", port=7860, timeout=300.0):
         # A finite default timeout turns a dead server / lost reply into a
         # socket.timeout instead of an indefinite recv hang (capi callers
         # own their own deadline policy; pass timeout=None to opt out).
+        # Default is generous because a cold server's FIRST reply waits on
+        # the slot-pool jit compile (tens of seconds on chip, worse on a
+        # loaded CPU test host).
         self.sock = socket.create_connection((host, port), timeout=timeout)
         self.sock.settimeout(timeout)
         self.sock.sendall(struct.pack("<I", MAGIC))
