@@ -154,6 +154,8 @@ class TestPretrainedDemo:
         got = eval_model(demo, "/root/reference/assets/noisy_snr0.wav",
                          "/root/reference/assets/clean_freesound_33711.wav")
         for k, v in golden.items():
+            if k.startswith("_"):  # annotation keys (e.g. _pesq_scale)
+                continue
             np.testing.assert_allclose(got[k], v, rtol=1e-3, atol=1e-3,
                                        err_msg=k)
 
@@ -164,7 +166,10 @@ class TestPretrainedDemo:
         golden = json.load(open(os.path.join(demo, "golden_metrics.json")))
         assert golden["stoi"] > 0.94
         assert golden["sisdr"] > 12.5
-        assert golden["pesq"] > 3.2
+        # local from-spec PESQ scale (eval/pesq.py multi-family
+        # recalibration lowered all values vs the r2 white-noise-only
+        # anchor); this floors gross regressions, it is not ITU MOS
+        assert golden["pesq"] > 2.8
 
 
 class TestCli:

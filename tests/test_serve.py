@@ -203,3 +203,33 @@ int main(int argc, char **argv) {
         expected = py.process_frame(audio)
         py.close()
         np.testing.assert_allclose(got, expected, atol=1e-6)
+
+
+def test_client_times_out_on_dead_server():
+    """A server that accepts but never replies raises socket.timeout in
+    process_frame instead of hanging recv forever (serve.py StreamClient
+    timeout default)."""
+    import socket
+    import struct
+    import threading
+
+    lsock = socket.socket()
+    lsock.bind(("127.0.0.1", 0))
+    lsock.listen(1)
+    port = lsock.getsockname()[1]
+    held = []
+
+    def accept_and_hold():
+        conn, _ = lsock.accept()
+        conn.recv(4)  # consume the magic, then go silent
+        held.append(conn)
+
+    t = threading.Thread(target=accept_and_hold, daemon=True)
+    t.start()
+    c = StreamClient(port=port, timeout=0.5)
+    with pytest.raises(TimeoutError):
+        c.process_frame(np.zeros(480, np.float32))
+    c.close()
+    for conn in held:
+        conn.close()
+    lsock.close()
