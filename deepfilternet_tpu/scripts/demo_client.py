@@ -72,7 +72,9 @@ def main(argv=None):
     n_hops = len(audio) // HOP
     audio = audio[: n_hops * HOP]
 
-    client = StreamClient(args.host, args.port)
+    # no socket deadline: the first reply legitimately waits on the
+    # server's slot-pool jit compile (minutes on a loaded CPU host)
+    client = StreamClient(args.host, args.port, timeout=None)
     outs = []
     t_start = time.time()
     busy = 0.0
