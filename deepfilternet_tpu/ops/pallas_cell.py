@@ -78,8 +78,7 @@ class CellStatics(NamedTuple):
 # ordered weight keys; the kernel receives them as refs in this order
 WKEYS: List[str] = [
     "dft",        # [960, 1024]  cols 0:512 cos, 512:1024 sin (F padded)
-    "imult_re",   # [1, 512]     f32 row scalings turning dft^T into the iDFT
-    "imult_im",   # [1, 512]
+    "imult",      # [1, 512]     f32 row scaling turning dft^T into the iDFT
     "erb_fwd",    # [512, 32]
     "erb_inv",    # [32, 512]
     "e0_w", "e0_b", "e1_w", "e1_b", "e2_w", "e2_b", "e3_w", "e3_b",
@@ -181,8 +180,7 @@ def build_cell_weights(model, df_state, rt_params, matmul_dtype=jnp.bfloat16,
     mult[NFREQ - 1] = 1.0
     mult[NFREQ:] = 0.0
     imult = (mult / _wnorm(FFT, HOP)).astype(np.float32)
-    W["imult_re"] = imult[None, :]
-    W["imult_im"] = imult[None, :].copy()
+    W["imult"] = imult[None, :]
 
     widths = df_state.erb_widths
     erb_f = np.asarray(erb_fb_matrices(widths, normalized=True, inverse=False))
@@ -336,7 +334,7 @@ def build_cell_weights(model, df_state, rt_params, matmul_dtype=jnp.bfloat16,
         # both axes). Other biases ride the mdtype trunk — a bias that
         # stays f32 would silently promote every activation after it back
         # to f32, doubling VMEM/traffic for the whole chain.
-        return k.startswith("imult") or k == "convp_b"
+        return k == "imult" or k == "convp_b"
 
     wj = {
         k: jnp.asarray(v, jnp.float32 if _is_bias(k) else matmul_dtype)
@@ -354,14 +352,18 @@ def _gru_cell(h, gi, ghw, b_hh, mm):
     # gate math runs f32 regardless of the trunk dtype: the TPU VPU
     # computes transcendentals at 32 bit anyway, and Mosaic rejects
     # sigmoid/tanh lowerings over bf16 vectors (weak-f32 scalar
-    # broadcasts in their decompositions). Only matmul operands narrow.
+    # broadcasts in their decompositions). The cell's own sums widen
+    # BEFORE adding so they introduce no further bf16 rounding beyond
+    # the matmul results themselves. b_hn stays inside r*(...) per the
+    # torch GRU definition.
     f32 = jnp.float32
-    gh = mm(h, ghw) + b_hh
+    gh = mm(h, ghw)
     i_r, i_z, i_n = jnp.split(gi, 3, axis=-1)
     h_r, h_z, h_n = jnp.split(gh, 3, axis=-1)
-    r = jax.nn.sigmoid((i_r + h_r).astype(f32))
-    z = jax.nn.sigmoid((i_z + h_z).astype(f32))
-    n = jnp.tanh(i_n.astype(f32) + r * h_n.astype(f32))
+    b_r, b_z, b_n = jnp.split(b_hh, 3, axis=-1)
+    r = jax.nn.sigmoid(i_r.astype(f32) + h_r.astype(f32) + b_r.astype(f32))
+    z = jax.nn.sigmoid(i_z.astype(f32) + h_z.astype(f32) + b_z.astype(f32))
+    n = jnp.tanh(i_n.astype(f32) + r * (h_n.astype(f32) + b_n.astype(f32)))
     return (1.0 - z) * n + z * h.astype(f32)
 
 
@@ -628,8 +630,8 @@ def _frame_tail(W, st: CellStatics, ns, s, frame, m, lsnr, y_re, y_im,
     if st.ablate == "model":  # perf ablation: skip synthesis matmuls
         out = frame * (1.0 + se_re[:, :1] * 0.0)
         return ns, out
-    x = (mm_t(se_re * W["imult_re"], W["dft"][:, :FPAD])
-         + mm_t(se_im * W["imult_im"], W["dft"][:, FPAD:]))  # [S, 960]
+    x = (mm_t(se_re * W["imult"], W["dft"][:, :FPAD])
+         + mm_t(se_im * W["imult"], W["dft"][:, FPAD:]))  # [S, 960]
     out = x[:, :HOP] + s["smem"]
     ns["smem"] = x[:, HOP:]
     return ns, out

@@ -93,6 +93,24 @@ def _largest_divisor_leq(n: int, k: int) -> int:
     return 1
 
 
+def _mosaic_layout(s: int, s_blk: int, n_frames: int, chunk: int,
+                   t_major: bool) -> Tuple[int, bool]:
+    """Adjust (s_blk, t_major) to satisfy the Mosaic block-shape rule.
+
+    The last two dims of every block must be multiples of (8, 128) or
+    equal the full array dims. s-major audio blocks [s_blk, chunk, hop]
+    put chunk second-minor (so chunk % 8 == 0 unless chunk == n_frames);
+    t-major blocks [chunk, s_blk, hop] put s_blk there instead.
+    Auto-shrunk chunks (process_frame, odd frame counts) flip to
+    t-major, and an odd stream block widens to the full stream dim.
+    """
+    if not t_major and chunk % 8 != 0 and chunk != n_frames:
+        t_major = True
+    if t_major and s_blk % 8 != 0 and s_blk != s:
+        s_blk = s
+    return s_blk, t_major
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("statics", "s_blk", "chunk", "mdtype", "interpret",
@@ -160,9 +178,12 @@ class PallasStreamingRuntime(StreamingRuntime):
         n_frames = t // hop
         s_blk = self.s_blk if s % self.s_blk == 0 else _largest_divisor_leq(s, self.s_blk)
         chunk = _largest_divisor_leq(n_frames, self.chunk)
+        t_major = self.t_major
+        if self.backend != "xla" and not self.interpret:
+            s_blk, t_major = _mosaic_layout(s, s_blk, n_frames, chunk, t_major)
         return _process_jit(
             jnp.asarray(audio, jnp.float32), carry, self.weights, self.statics,
-            s_blk, chunk, self.matmul_dtype, self.interpret, self.t_major,
+            s_blk, chunk, self.matmul_dtype, self.interpret, t_major,
             self.backend,
         )
 

@@ -40,7 +40,9 @@ def run_clients(port, n_clients, seconds, rng):
     stop = threading.Event()
 
     def client(ci):
-        c = StreamClient(port=port)
+        # no deadline: the warm frame below waits on the server's cold
+        # slot-pool compile (minutes); pacing starts after the barrier
+        c = StreamClient(port=port, timeout=None)
         hop = (rng.standard_normal(HOP) * 0.1).astype(np.float32)
         c.process_frame(hop)  # join the pool / warm slot
         barrier.wait()

@@ -158,3 +158,20 @@ def test_chunk_continuity_xla_backend(model):
         np.asarray(jnp.concatenate([o_a, o_b], -1)), np.asarray(o_full),
         atol=1e-5, rtol=1e-5,
     )
+
+
+def test_mosaic_layout_rule():
+    """Auto-shrunk grid tiles must keep satisfying the Mosaic block-shape
+    rule (last two block dims multiples of (8, 128) or the full dims)."""
+    from deepfilternet_tpu.streaming_pallas import _mosaic_layout
+
+    # process_frame: chunk auto-shrinks to 1 == n_frames -> s-major legal
+    assert _mosaic_layout(4096, 128, 1, 1, False) == (128, False)
+    # 100 frames -> chunk 5: s-major illegal (5 % 8, 5 != 100) -> t-major
+    assert _mosaic_layout(4096, 128, 100, 5, False) == (128, True)
+    # t-major with an odd stream block widens to the full stream dim
+    assert _mosaic_layout(6, 6, 100, 5, False) == (6, True)
+    assert _mosaic_layout(24, 6, 800, 8, True) == (24, True)
+    # legal configs pass through untouched
+    assert _mosaic_layout(4096, 512, 200, 4, True) == (512, True)
+    assert _mosaic_layout(4096, 128, 200, 8, False) == (128, False)
