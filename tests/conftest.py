@@ -29,3 +29,23 @@ def rng():
     import numpy as np
 
     return np.random.default_rng(42)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _fresh_config():
+    """Reset the global config at every module boundary.
+
+    Several test files mutate the process-global `config` (GRU_TYPE,
+    DF_OUTPUT_LAYER, loss factors, ...) and `init_df()` without a model
+    dir deliberately inherits the live config. Without this reset, a
+    module's *module-scoped* fixtures (e.g. test_demo_client's server)
+    build models from whatever the previous file left behind — which
+    once produced a server whose batcher thread died on a polluted
+    config, deadlocking the whole suite. Autouse fixtures instantiate
+    before same-scope non-autouse ones, so this runs ahead of every
+    module fixture.
+    """
+    from deepfilternet_tpu.config import config
+
+    config.reset()
+    yield
