@@ -84,6 +84,7 @@ def main():
             model, df_state, dtype=dtype, unroll=unroll,
             fused=os.environ.get("BENCH_FUSED", "0") == "1",
             use_pallas=os.environ.get("BENCH_PFRONTEND", "0") == "1",
+            packed_carry=os.environ.get("BENCH_PACKED", "0") == "1",
         )
 
     # 4096 streams amortize the scan's fixed per-iteration overhead better

@@ -243,6 +243,9 @@ DEFAULT_MODEL_DIR = os.path.join(
 
 
 def main(args=None):
+    from deepfilternet_tpu.utils.platform import honor_jax_platforms_env
+
+    honor_jax_platforms_env()
     parser = argparse.ArgumentParser(
         prog="deepFilter", description="Enhance noisy audio with DeepFilterNet-TPU"
     )

@@ -42,6 +42,9 @@ def pair_files(noisy_dir: str, clean_dir: str, dns: bool = False):
 
 
 def main(argv=None):
+    from deepfilternet_tpu.utils.platform import honor_jax_platforms_env
+
+    honor_jax_platforms_env()
     parser = argparse.ArgumentParser(description="Evaluate a model over a dataset dir")
     parser.add_argument("--model-base-dir", "-m", default=None)
     parser.add_argument("--noisy-dir", required=True)

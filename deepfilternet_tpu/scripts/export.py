@@ -121,6 +121,9 @@ def load_exported(path: str, name: str = "offline.stablehlo"):
 
 
 def main(argv=None):
+    from deepfilternet_tpu.utils.platform import honor_jax_platforms_env
+
+    honor_jax_platforms_env()
     parser = argparse.ArgumentParser(description="Export a model artifact")
     parser.add_argument("base_dir")
     parser.add_argument("output")

@@ -45,6 +45,9 @@ def eval_model(model_dir: str, noisy_path: str, clean_path: str) -> Dict[str, fl
 
 
 def main(argv=None):
+    from deepfilternet_tpu.utils.platform import honor_jax_platforms_env
+
+    honor_jax_platforms_env()
     parser = argparse.ArgumentParser(description="Golden metric regression")
     parser.add_argument("model_dirs", nargs="+")
     parser.add_argument("--noisy", default=DEFAULT_NOISY)

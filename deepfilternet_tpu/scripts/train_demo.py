@@ -27,6 +27,9 @@ from deepfilternet_tpu.config import config
 
 
 def main(model_dir: str, budget_s: float = 600.0, lr: float = 3e-4) -> None:
+    from deepfilternet_tpu.utils.platform import honor_jax_platforms_env
+
+    honor_jax_platforms_env()
     config.reset()
     ini = os.path.join(model_dir, "config.ini")
     if os.path.isfile(ini):
@@ -60,10 +63,20 @@ def main(model_dir: str, budget_s: float = 600.0, lr: float = 3e-4) -> None:
     _, _, mp_cls = model_module()
     p = mp_cls()
 
+    # data-recipe knobs (see pretrained/README.md): the fixture corpus is
+    # tiny, so generalization to the golden asset is driven by mix
+    # diversity — crop length, SNR emphasis, and the augmentation stack
+    # (DF_P_* env vars, reference dataset.rs:644-730 semantics)
+    max_len_s = float(os.environ.get("DEMO_MAX_LEN_S", "3.0"))
+    snrs = tuple(
+        int(s) for s in os.environ.get("DEMO_SNRS", "-5,0,5,10,20,40").split(",")
+    )
+    batch_size = int(os.environ.get("DEMO_BATCH", "8"))
     cfgs = [Hdf5Cfg("clean.hdf5", 16), Hdf5Cfg("noise_flac.hdf5", 1)]
-    td = TdDataset("/root/reference/assets", cfgs, "train", max_len_s=3.0, seed=1)
+    td = TdDataset("/root/reference/assets", cfgs, "train",
+                   max_len_s=max_len_s, snrs=snrs, seed=1)
     fd = FdDataset(td)
-    dl = DataLoader(fd, batch_size=8, num_workers=6, drop_last=True)
+    dl = DataLoader(fd, batch_size=batch_size, num_workers=6, drop_last=True)
 
     loss_obj = Loss(
         Stft(p.sr, p.fft_size, p.hop_size),

@@ -292,6 +292,9 @@ class StreamClient:
 def main(argv=None):
     from deepfilternet_tpu.enhance import init_df
     from deepfilternet_tpu.streaming import RuntimeParams
+    from deepfilternet_tpu.utils.platform import honor_jax_platforms_env
+
+    honor_jax_platforms_env()
 
     parser = argparse.ArgumentParser(description="DeepFilterNet-TPU stream server")
     parser.add_argument("--host", default="127.0.0.1")

@@ -61,10 +61,51 @@ class RuntimeParams(NamedTuple):
     n_channels: int = 1
 
 
+class _CarryPacker:
+    """Flattens a pytree carry into ONE buffer per dtype for `lax.scan`.
+
+    The scan carry normally holds ~14 separate arrays (STFT memories, norm
+    states, GRU hiddens, ring buffers); XLA's while-loop pays a fixed
+    bookkeeping cost per carried buffer at every iteration — measured at
+    ~45% of the whole per-frame budget (PERF.md ablation: 170 µs empty
+    shuttle vs 377 µs full cell at S=2048). Packing trades that per-buffer
+    cost for one concat+slice round trip per frame, which XLA can fuse.
+    Layouts/offsets are static, so unpacking lowers to static slices.
+    """
+
+    def __init__(self, template):
+        import numpy as np
+
+        leaves, self.treedef = jax.tree.flatten(template)
+        self.specs = [
+            (tuple(l.shape), l.dtype, int(np.prod(l.shape))) for l in leaves
+        ]
+        self.groups: Dict[str, list] = {}
+        for i, (_, dt, _) in enumerate(self.specs):
+            self.groups.setdefault(jnp.dtype(dt).name, []).append(i)
+
+    def pack(self, carry) -> Dict[str, jnp.ndarray]:
+        leaves = jax.tree.leaves(carry)
+        return {
+            name: jnp.concatenate([leaves[i].reshape(-1) for i in idxs])
+            for name, idxs in self.groups.items()
+        }
+
+    def unpack(self, bufs: Dict[str, jnp.ndarray]):
+        leaves = [None] * len(self.specs)
+        for name, idxs in self.groups.items():
+            buf, off = bufs[name], 0
+            for i in idxs:
+                shape, _, n = self.specs[i]
+                leaves[i] = buf[off : off + n].reshape(shape)
+                off += n
+        return jax.tree.unflatten(self.treedef, leaves)
+
+
 class StreamingRuntime:
     def __init__(self, model, df_state, params: RuntimeParams = RuntimeParams(),
                  dtype=jnp.float32, use_pallas: bool = False, fused: bool = False,
-                 unroll: int = 1):
+                 unroll: int = 1, packed_carry: bool = False):
         self.model = model
         self.df_state = df_state
         self.cfg = model.cfg
@@ -74,6 +115,9 @@ class StreamingRuntime:
         # lax.scan unroll factor: >1 lets XLA software-pipeline independent
         # work (frontend DFT of frame t+1 against GRU chain of frame t)
         self.unroll = unroll
+        # pack the ~14 carry arrays into one flat buffer per dtype — trades
+        # XLA's per-buffer while-loop bookkeeping for a fused concat/slice
+        self.packed_carry = packed_carry
         if fused:
             # DFN3-only: conv stack folded into dense MXU matmuls
             from deepfilternet_tpu.models.dfnet3_fused import FusedDfNet3
@@ -268,10 +312,23 @@ class StreamingRuntime:
                 frames = audio.reshape(
                     audio.shape[0], n_frames, self.stft_cfg.hop_size
                 )
-                carry, out = jax.lax.scan(
-                    self._cell, carry, jnp.moveaxis(frames, 1, 0),
-                    unroll=min(self.unroll, n_frames),
-                )
+                frames_t = jnp.moveaxis(frames, 1, 0)
+                unroll = min(self.unroll, n_frames)
+                if self.packed_carry:
+                    packer = _CarryPacker(carry)
+
+                    def cell(p, frame):
+                        c2, o = self._cell(packer.unpack(p), frame)
+                        return packer.pack(c2), o
+
+                    packed, out = jax.lax.scan(
+                        cell, packer.pack(carry), frames_t, unroll=unroll
+                    )
+                    carry = packer.unpack(packed)
+                else:
+                    carry, out = jax.lax.scan(
+                        self._cell, carry, frames_t, unroll=unroll
+                    )
                 return carry, jnp.moveaxis(out, 0, 1).reshape(audio.shape[0], -1)
 
             self._process_jit[n_frames] = run

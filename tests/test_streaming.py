@@ -65,6 +65,43 @@ class TestStreamingRuntime:
         np.testing.assert_allclose(np.concatenate(outs, 1), np.asarray(full), atol=1e-5)
 
 
+class TestPackedCarry:
+    def test_packed_carry_matches_reference(self, setup, rng):
+        """packed_carry=True (one flat scan buffer per dtype) must be
+        bit-compatible with the default multi-buffer carry: the packer only
+        changes the while-loop's carry layout, never the cell math."""
+        model, df_state, rt = setup
+        rt_p = StreamingRuntime(model, df_state, packed_carry=True)
+        audio = jnp.asarray(
+            rng.standard_normal((2, 480 * 6)).astype(np.float32) * 0.1
+        )
+        c_ref, out_ref = rt.process(rt.init(2), audio)
+        c_p, out_p = rt_p.process(rt_p.init(2), audio)
+        np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_ref),
+                                   atol=1e-6)
+        # carry state (incl. int32 silence counter) survives the round trip
+        import jax
+
+        for a, b in zip(jax.tree.leaves(c_p), jax.tree.leaves(c_ref)):
+            assert a.dtype == b.dtype
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    def test_packed_carry_bf16(self, setup, rng):
+        """Mixed-dtype carries (bf16 model state + f32 frontend/ring
+        buffers + int32 counter) pack into separate per-dtype buffers."""
+        model, df_state, _ = setup
+        rt_b = StreamingRuntime(model, df_state, dtype=jnp.bfloat16)
+        rt_pb = StreamingRuntime(model, df_state, dtype=jnp.bfloat16,
+                                 packed_carry=True)
+        audio = jnp.asarray(
+            rng.standard_normal((2, 480 * 4)).astype(np.float32) * 0.1
+        )
+        _, out_ref = rt_b.process(rt_b.init(2), audio)
+        _, out_p = rt_pb.process(rt_pb.init(2), audio)
+        np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_ref),
+                                   atol=1e-6)
+
+
 class TestPallasFrontend:
     def test_fused_kernel_matches_jnp(self, setup, rng):
         """Pallas fused frontend (interpret mode on CPU) must match the jnp
