@@ -29,6 +29,38 @@ def log(*a):
 
 
 def main():
+    # Backend-init watchdog: a dead TPU transport makes jax.devices() hang
+    # forever (observed r03: the axon relay died and every backend init
+    # blocked indefinitely). Fail fast with a diagnosable record instead
+    # of eating the whole driver budget.
+    from deepfilternet_tpu.utils.platform import honor_jax_platforms_env
+
+    honor_jax_platforms_env()
+
+    import threading
+
+    ready = threading.Event()
+
+    def _probe():
+        import jax as _jax
+
+        _probe.devices = _jax.devices()  # noqa: B023 — stash for logging
+        ready.set()
+
+    t = threading.Thread(target=_probe, daemon=True)
+    t.start()
+    budget = float(os.environ.get("BENCH_BACKEND_TIMEOUT_S", "600"))
+    if not ready.wait(budget):
+        print(json.dumps({
+            "metric": "aggregate_rtf_streams_per_chip",
+            "value": 0.0,
+            "unit": "x_realtime",
+            "vs_baseline": 0.0,
+            "error": f"TPU backend init did not complete in {budget:.0f}s "
+                     "(transport down?)",
+        }), flush=True)
+        os._exit(1)
+
     import jax
     import jax.numpy as jnp
 

@@ -116,14 +116,25 @@ def main(model_dir: str, budget_s: float = 600.0, lr: float = 3e-4) -> None:
     # (fresh SNR/gain/augmentation/noise draws per epoch seed) so the demo
     # model generalizes to the golden asset instead of memorizing one mix
     n_pools = int(os.environ.get("DEMO_POOLS", "12"))
-    pool = list(dl.iter_epoch("train", 0))
+    # DEMO_POOL_OFFSET shifts the epoch-seed window: successive driver
+    # rounds can train on *fresh* mix draws (new SNR/gain/noise/crop/
+    # augmentation realizations) instead of re-cycling the same pools —
+    # the fixture corpus's substitute for a large training set
+    offset = int(os.environ.get("DEMO_POOL_OFFSET", "0"))
+    pool = list(dl.iter_epoch("train", offset))
     raw = []
-    for ep in range(n_pools):
-        for b in (pool if ep == 0 else dl.iter_epoch("train", ep)):
+    for ep in range(offset, offset + n_pools):
+        for b in (pool if ep == offset else dl.iter_epoch("train", ep)):
             raw.append(batch_to_arrays(b))
     # pad every batch to one global [B, T, ...] shape: a single jit
     # signature for the train step (shape churn = minutes of recompiles)
     tmax = max(a["noisy"].shape[1] for a in raw)
+    # DEMO_PAD_FRAMES pins the padded length across rounds so the
+    # persistent compilation cache (JAX_COMPILATION_CACHE_DIR) hits
+    pad_frames = int(os.environ.get("DEMO_PAD_FRAMES", "0"))
+    if pad_frames:
+        assert pad_frames >= tmax, (pad_frames, tmax)
+        tmax = pad_frames
     arr_pool = []
     for a in raw:
         t = a["noisy"].shape[1]
