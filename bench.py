@@ -117,6 +117,7 @@ def main():
             fused=os.environ.get("BENCH_FUSED", "0") == "1",
             use_pallas=os.environ.get("BENCH_PFRONTEND", "0") == "1",
             packed_carry=os.environ.get("BENCH_PACKED", "0") == "1",
+            fuse_ops=os.environ.get("BENCH_FUSE_OPS", "0") == "1",
         )
 
     # 4096 streams amortize the scan's fixed per-iteration overhead better

@@ -35,6 +35,7 @@ from deepfilternet_tpu.config import DfParams, config
 from deepfilternet_tpu.nn import (
     conv2d_norm_act_apply,
     conv2d_norm_act_step,
+    ACT,
     conv_transpose2d_norm_act_apply,
     conv_transpose2d_norm_act_step,
     grouped_linear_apply,
@@ -403,6 +404,44 @@ def streaming_init(batch: int, cfg: Dict) -> StreamState:
     )
 
 
+def merge_emb_heads(params: Dict) -> Tuple[Dict, Tuple]:
+    """Merge every head that reads the post-encoder `emb` — lsnr_fc,
+    dec_emb_gru.linear_in, df_gru.linear_in, df_skip — into ONE dense
+    matmul: four sequential dispatches become one wide MXU op (PERF.md
+    op-chain lever; the scan is dispatch-latency-bound, and the zero
+    blocks from densifying the grouped heads are a few hundred kMACs).
+    Grouped weights [g, ws, hs] densify block-diagonally, which preserves
+    the group-major output ordering, so each head's output is a contiguous
+    slice of the merged product. Originals stay in the tree (XLA
+    dead-code-eliminates the unused path). Returns (params', spec); spec
+    is a tuple of (head_name, width) in merge order.
+    """
+    from jax.scipy.linalg import block_diag
+
+    def dense(w):  # grouped [g, ws, hs] -> block-diag [g*ws, g*hs]
+        return block_diag(*[w[gi] for gi in range(w.shape[0])])
+
+    heads = [
+        ("lsnr", params["lsnr_fc"]["w"].T, params["lsnr_fc"].get("b")),
+        ("dec", dense(params["dec_emb_gru"]["linear_in"]["w"]), None),
+        ("df", dense(params["df_gru"]["linear_in"]["w"]), None),
+    ]
+    if "df_skip" in params:
+        heads.append(("skip", dense(params["df_skip"]["w"]), None))
+    isz = heads[0][1].shape[0]
+    if any(w.shape[0] != isz for _, w, _ in heads):
+        return params, ()  # heads disagree on emb width (custom config)
+    out = dict(params)
+    out["_emb_heads"] = {
+        "w": jnp.concatenate([w for _, w, _ in heads], axis=1),
+        "b": jnp.concatenate(
+            [jnp.zeros((w.shape[1],), w.dtype) if b is None else b
+             for _, w, b in heads]
+        ),
+    }
+    return out, tuple((n, int(w.shape[1])) for n, w, _ in heads)
+
+
 def streaming_cell(
     params: Dict,
     state: Dict,
@@ -450,11 +489,26 @@ def streaming_cell(
     emb = jnp.transpose(e3, (0, 2, 1)).reshape(b, -1)
     emb = jnp.concatenate([emb, cemb], -1) if cfg["enc_concat"] else emb + cemb
     enc_h, emb = squeezed_gru_s_step(params["enc_emb_gru"], L["enc_emb_gru"], carry.enc_gru_h, emb)
-    lsnr = jax.nn.sigmoid(linear_apply(params["lsnr_fc"], emb))
+
+    # merged emb heads (merge_emb_heads): one dense matmul feeds lsnr_fc,
+    # the erb-decoder GRU input, the df-decoder GRU input, and the df skip
+    eh = {}
+    if cfg.get("emb_heads"):
+        mh = params["_emb_heads"]
+        merged = emb @ mh["w"] + mh["b"]
+        off = 0
+        for name, hs in cfg["emb_heads"]:
+            eh[name] = merged[:, off : off + hs]
+            off += hs
+    lsnr_raw = eh["lsnr"] if "lsnr" in eh else linear_apply(params["lsnr_fc"], emb)
+    lsnr = jax.nn.sigmoid(lsnr_raw)
     lsnr = lsnr * (cfg["lsnr_max"] - cfg["lsnr_min"]) + cfg["lsnr_min"]
 
     # -- erb decoder
-    dec_h, demb = squeezed_gru_s_step(params["dec_emb_gru"], L["dec_emb_gru"], carry.dec_gru_h, emb)
+    dec_h, demb = squeezed_gru_s_step(
+        params["dec_emb_gru"], L["dec_emb_gru"], carry.dec_gru_h, emb,
+        xin=ACT[L["dec_emb_gru"]["linear_act"]](eh["dec"]) if "dec" in eh else None,
+    )
     f4 = cfg["nb_erb"] // 4  # e3's freq size (two stride-2 encoder convs)
     demb = jnp.transpose(demb.reshape(b, f4, -1), (0, 2, 1))  # [B, C, F/4]
 
@@ -468,11 +522,15 @@ def streaming_cell(
     m = dstep("conv0_out", dstep("conv0p", e0) + d1)[:, 0]  # [B, E]
 
     # -- df decoder
-    df_h, c = squeezed_gru_s_step(params["df_gru"], L["df_gru"], carry.df_gru_h, emb)
+    df_h, c = squeezed_gru_s_step(
+        params["df_gru"], L["df_gru"], carry.df_gru_h, emb,
+        xin=ACT[L["df_gru"]["linear_act"]](eh["df"]) if "df" in eh else None,
+    )
     if cfg["df_gru_skip"] == "identity":
         c = c + emb
     elif cfg["df_gru_skip"] == "groupedlinear":
-        c = c + grouped_linear_apply(params["df_skip"], emb)
+        c = c + (eh["skip"] if "skip" in eh
+                 else grouped_linear_apply(params["df_skip"], emb))
     ktp = cfg["df_pathway_kt"]
     if ktp > 1:
         c0_win = jnp.concatenate([carry.c0_buf, c0[:, :, None, :]], axis=2)

@@ -436,15 +436,33 @@ def gru_apply(
     layers = params["layers"]
     num_layers = len(layers)
     b, t, _ = x.shape
-    hidden = layers[0]["w_hh"].shape[1]
+    lp0 = layers[0]
+    hidden = (
+        lp0["w_cat"].shape[1] // 4 if "w_cat" in lp0 else lp0["w_hh"].shape[1]
+    )
     if h0 is None:
         h0 = jnp.zeros((num_layers, b, hidden), x.dtype)
     h_finals = []
     out = x
     for li, lp in enumerate(layers):
-        gi = out @ lp["w_ih"].T + lp["b_ih"]  # [B, T, 3H]
-        ghw = lp["w_hh"].T
-        b_hh = lp["b_hh"]
+        if "w_cat" in lp:
+            # fused layout (fuse_gru_layer): recover the batched-input /
+            # recurrent split. x rows give all three input gates; h rows
+            # give rz (cols :2H) and h_n (cols 3H:) — the i_n h-rows are
+            # the zero block, so dropping them is exact.
+            isz = lp["w_cat"].shape[0] - hidden
+            gi = out @ lp["w_cat"][:isz, : 3 * hidden] + lp["b_cat"][: 3 * hidden]
+            ghw = jnp.concatenate(
+                [lp["w_cat"][isz:, : 2 * hidden], lp["w_cat"][isz:, 3 * hidden :]],
+                axis=1,
+            )
+            b_hh = jnp.concatenate(
+                [jnp.zeros((2 * hidden,), lp["b_cat"].dtype), lp["b_cat"][3 * hidden :]]
+            )
+        else:
+            gi = out @ lp["w_ih"].T + lp["b_ih"]  # [B, T, 3H]
+            ghw = lp["w_hh"].T
+            b_hh = lp["b_hh"]
 
         def step(h, gi_t):
             h_new = _gru_cell(h, gi_t, ghw, b_hh, hidden)
@@ -459,17 +477,91 @@ def gru_apply(
 def gru_step(
     params: Params, h: jnp.ndarray, x: jnp.ndarray
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Single frame. x: [B, I]; h: [L, B, H]. Returns (h', out [B, H])."""
+    """Single frame. x: [B, I]; h: [L, B, H]. Returns (h', out [B, H]).
+
+    Accepts either the torch layout (w_ih/w_hh, two matmuls per layer) or
+    the fused layout produced by :func:`fuse_gru_layer` (one matmul per
+    layer) — the streaming scan is dispatch-latency-bound per op, so
+    halving the sequential matmul count matters more than the extra
+    zero-block FLOPs (see PERF.md "Where the floor is").
+    """
     layers = params["layers"]
-    hidden = layers[0]["w_hh"].shape[1]
     out = x
     new_h = []
     for li, lp in enumerate(layers):
-        gi = out @ lp["w_ih"].T + lp["b_ih"]
-        h_new = _gru_cell(h[li], gi, lp["w_hh"].T, lp["b_hh"], hidden)
+        if "w_cat" in lp:
+            h_new = _gru_cell_cat(h[li], out, lp["w_cat"], lp["b_cat"])
+        else:
+            gi = out @ lp["w_ih"].T + lp["b_ih"]
+            h_new = _gru_cell(h[li], gi, lp["w_hh"].T, lp["b_hh"],
+                              lp["w_hh"].shape[1])
         new_h.append(h_new)
         out = h_new
     return jnp.stack(new_h, axis=0), out
+
+
+def _gru_cell_cat(h, x, w_cat, b_cat):
+    """One GRU step as a single matmul over the concatenated [x, h] input.
+
+    w_cat columns: [r+z gates summed over (x,h) | i_n (x only) | h_n (h
+    only)] — the n gate needs its input/hidden halves separate because the
+    reset gate scales only the hidden half (torch semantics:
+    n = tanh(i_n + r * h_n)). Matches :func:`_gru_cell` up to matmul
+    reduction order.
+    """
+    hidden = w_cat.shape[1] // 4
+    g = jnp.concatenate([x, h], axis=-1) @ w_cat + b_cat
+    r = jax.nn.sigmoid(g[..., :hidden])
+    z = jax.nn.sigmoid(g[..., hidden : 2 * hidden])
+    n = jnp.tanh(g[..., 2 * hidden : 3 * hidden] + r * g[..., 3 * hidden :])
+    return (1.0 - z) * n + z * h
+
+
+def fuse_gru_layer(lp: Params) -> Params:
+    """Torch-layout GRU layer -> single-matmul layout {w_cat, b_cat}.
+
+    w_cat: [(I+H), 4H] with columns [rz (summed) | i_n | h_n]; the two
+    zero blocks (h rows under i_n, x rows under h_n) add ~H(I+H) MACs —
+    cheap next to the dispatch latency of a second matmul in the
+    per-frame scan (PERF.md: ~17 µs/op at S=4096 regardless of width).
+    """
+    w_ih, w_hh = lp["w_ih"], lp["w_hh"]  # [3H, I], [3H, H]
+    hidden = w_hh.shape[1]
+    isz = w_ih.shape[1]
+    wi, wh = w_ih.T, w_hh.T  # [I, 3H], [H, 3H]
+    h2 = 2 * hidden
+    top = jnp.concatenate(
+        [wi[:, :h2], wi[:, h2:], jnp.zeros((isz, hidden), wi.dtype)], axis=1
+    )
+    bot = jnp.concatenate(
+        [wh[:, :h2], jnp.zeros((hidden, hidden), wh.dtype), wh[:, h2:]], axis=1
+    )
+    return {
+        "w_cat": jnp.concatenate([top, bot], axis=0),
+        "b_cat": jnp.concatenate(
+            [lp["b_ih"][:h2] + lp["b_hh"][:h2], lp["b_ih"][h2:], lp["b_hh"][h2:]]
+        ),
+    }
+
+
+_GRU_LAYER_KEYS = frozenset(("w_ih", "w_hh", "b_ih", "b_hh"))
+
+
+def fuse_gru_tree(params):
+    """Recursively rewrite every torch-layout GRU layer in a params tree to
+    the fused single-matmul layout. Covers plain/Squeezed(_S)/Grouped GRUs
+    in every model family (their step paths all bottom out in
+    :func:`gru_step`). Apply only to copies used by per-frame streaming;
+    the offline `gru_apply` path keeps the torch layout (its input matmul
+    is already batched over time).
+    """
+    if isinstance(params, dict):
+        if _GRU_LAYER_KEYS <= params.keys():
+            return fuse_gru_layer(params)
+        return {k: fuse_gru_tree(v) for k, v in params.items()}
+    if isinstance(params, (list, tuple)):
+        return type(params)(fuse_gru_tree(v) for v in params)
+    return params
 
 
 # ---------------------------------------------------------------------------
@@ -524,10 +616,14 @@ def squeezed_gru_s_apply(
 
 
 def squeezed_gru_s_step(
-    params: Params, cfg: Dict, h: jnp.ndarray, x: jnp.ndarray
+    params: Params, cfg: Dict, h: jnp.ndarray, x: jnp.ndarray,
+    xin: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     act = ACT[cfg["linear_act"]]
-    xin = act(grouped_linear_apply(params["linear_in"], x))
+    if xin is None:
+        xin = act(grouped_linear_apply(params["linear_in"], x))
+    # else: caller precomputed linear_in (e.g. merged with sibling heads
+    # into one einsum) INCLUDING the activation; x still feeds the skip.
     h_new, out = gru_step(params["gru"], h, xin)
     if "linear_out" in params:
         out = act(grouped_linear_apply(params["linear_out"], out))
@@ -645,7 +741,11 @@ def grouped_gru_step(
     new_h = []
     out_accum = None
     for li, layer_groups in enumerate(params["layers"]):
-        isz = layer_groups[0]["layers"][0]["w_ih"].shape[1]
+        lp0 = layer_groups[0]["layers"][0]
+        if "w_cat" in lp0:  # fused layout: w_cat is [(I+H), 4H]
+            isz = lp0["w_cat"].shape[0] - lp0["w_cat"].shape[1] // 4
+        else:
+            isz = lp0["w_ih"].shape[1]
         outs = []
         for gi, gp in enumerate(layer_groups):
             hN, o = gru_step(gp, h[li * g + gi][None], cur[..., gi * isz : (gi + 1) * isz])

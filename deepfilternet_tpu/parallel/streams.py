@@ -29,8 +29,9 @@ class ShardedStreamingRuntime(StreamingRuntime):
 
     def __init__(self, model, df_state, mesh: Optional[Mesh] = None,
                  params: RuntimeParams = RuntimeParams(), axis: str = "data",
-                 dtype=jnp.float32):
-        super().__init__(model, df_state, params, dtype=dtype)
+                 dtype=jnp.float32, fuse_ops: bool = False):
+        super().__init__(model, df_state, params, dtype=dtype,
+                         fuse_ops=fuse_ops)
         self.mesh = mesh or data_parallel_mesh(axis=axis)
         self.axis = axis
         self._shard = NamedSharding(self.mesh, P(axis))

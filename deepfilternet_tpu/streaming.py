@@ -105,7 +105,8 @@ class _CarryPacker:
 class StreamingRuntime:
     def __init__(self, model, df_state, params: RuntimeParams = RuntimeParams(),
                  dtype=jnp.float32, use_pallas: bool = False, fused: bool = False,
-                 unroll: int = 1, packed_carry: bool = False):
+                 unroll: int = 1, packed_carry: bool = False,
+                 fuse_ops: bool = False):
         self.model = model
         self.df_state = df_state
         self.cfg = model.cfg
@@ -127,15 +128,40 @@ class StreamingRuntime:
             fused_module = FusedDfNet3(model.params, model.state, model.cfg)
             self.model = copy.copy(model)
             self.model.module = fused_module
+        if fuse_ops:
+            # op-chain restructuring (PERF.md "Where the floor is"): the
+            # per-frame scan is dispatch-latency-bound, so (a) fuse each
+            # GRU layer's two gate matmuls into one concat-K matmul, and
+            # (b) merge the grouped-linear heads that read the same `emb`
+            # (dec/df linear_in + df_skip) into one einsum. Composes with
+            # `fused` for (a) — FusedDfNet3 reads GRUs from the params
+            # passed at call time — while (b) is used by the plain DFN3
+            # cell only (the dense-folded cell keeps its own layout).
+            import copy
+
+            from deepfilternet_tpu.nn import fuse_gru_tree
+
+            m = copy.copy(self.model)
+            m.params = fuse_gru_tree(self.model.params)
+            merge = getattr(m.module, "merge_emb_heads", None)
+            if merge is not None and not fused:
+                m.params, head_spec = merge(m.params)
+                if head_spec:
+                    self.cfg = dict(self.cfg, emb_heads=head_spec)
+            self.model = m
+        self.fuse_ops = fuse_ops
         if dtype != jnp.float32:
             # cast model weights once; features are cast per frame. The
             # spectrum/DF/mask application stays f32 for output fidelity.
+            # (copy from self.model: `fused`/`fuse_gru` may already have
+            # swapped the module or rewritten the params)
             import copy
 
-            self.model = copy.copy(model)
             cast = lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x
-            self.model.params = jax.tree.map(cast, model.params)
-            self.model.state = jax.tree.map(cast, model.state)
+            m = copy.copy(self.model)
+            m.params = jax.tree.map(cast, self.model.params)
+            m.state = jax.tree.map(cast, self.model.state)
+            self.model = m
         if params.post_filter_beta > 0:
             self.cfg = dict(self.cfg, mask_pf=True, pf_beta=params.post_filter_beta)
         self.stft_cfg: Stft = df_state.stft_cfg

@@ -102,6 +102,96 @@ class TestPackedCarry:
                                    atol=1e-6)
 
 
+class TestFusedGru:
+    def test_gru_step_fused_matches(self, rng):
+        """fuse_gru_layer: one [(I+H),4H] matmul per layer must match the
+        two-matmul torch layout (up to matmul reduction order)."""
+        import jax
+
+        from deepfilternet_tpu.nn import fuse_gru_tree, gru_step, init_gru
+
+        p = init_gru(jax.random.PRNGKey(0), 24, 16, num_layers=3)
+        pf = fuse_gru_tree(p)
+        assert "w_cat" in pf["layers"][0] and "w_ih" not in pf["layers"][0]
+        h = jnp.asarray(rng.standard_normal((3, 5, 16)).astype(np.float32))
+        x = jnp.asarray(rng.standard_normal((5, 24)).astype(np.float32))
+        h1, o1 = gru_step(p, h, x)
+        h2, o2 = gru_step(pf, h, x)
+        np.testing.assert_allclose(np.asarray(o2), np.asarray(o1), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(h2), np.asarray(h1), atol=1e-6)
+
+    def test_grouped_gru_step_fused_matches(self, rng):
+        """fuse_gru_tree must reach the per-group leaf GRUs of GroupedGRU."""
+        import jax
+
+        from deepfilternet_tpu.nn import (
+            fuse_gru_tree,
+            grouped_gru_step,
+            init_grouped_gru,
+        )
+
+        p, cfg = init_grouped_gru(
+            jax.random.PRNGKey(1), 32, 32, num_layers=2, groups=4
+        )
+        pf = fuse_gru_tree(p)
+        h = jnp.asarray(rng.standard_normal((8, 3, 8)).astype(np.float32))
+        x = jnp.asarray(rng.standard_normal((3, 32)).astype(np.float32))
+        h1, o1 = grouped_gru_step(p, cfg, h, x)
+        h2, o2 = grouped_gru_step(pf, cfg, h, x)
+        np.testing.assert_allclose(np.asarray(o2), np.asarray(o1), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(h2), np.asarray(h1), atol=1e-6)
+
+    def test_gru_apply_fused_matches(self, rng):
+        """Offline gru_apply must also accept the fused layout (the chunked
+        runtime shares the transformed params)."""
+        import jax
+
+        from deepfilternet_tpu.nn import fuse_gru_tree, gru_apply, init_gru
+
+        p = init_gru(jax.random.PRNGKey(2), 12, 20, num_layers=2)
+        x = jnp.asarray(rng.standard_normal((3, 7, 12)).astype(np.float32))
+        o1, h1 = gru_apply(p, x)
+        o2, h2 = gru_apply(fuse_gru_tree(p), x)
+        np.testing.assert_allclose(np.asarray(o2), np.asarray(o1), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(h2), np.asarray(h1), atol=1e-6)
+
+    def test_runtime_fuse_ops_bf16(self, setup, rng):
+        """fuse_ops composes with the bf16 weight cast (the cast must copy
+        from the transformed model, not the original)."""
+        model, df_state, _ = setup
+        rt_b = StreamingRuntime(model, df_state, dtype=jnp.bfloat16)
+        rt_fb = StreamingRuntime(
+            model, df_state, dtype=jnp.bfloat16, fuse_ops=True
+        )
+        assert "w_cat" in rt_fb.model.params["df_gru"]["gru"]["layers"][0]
+        assert rt_fb.model.params["_emb_heads"]["w"].dtype == jnp.bfloat16
+        audio = rng.standard_normal((2, 480 * 4)).astype(np.float32) * 0.1
+        _, ref = rt_b.process(rt_b.init(2), jnp.asarray(audio))
+        _, got = rt_fb.process(rt_fb.init(2), jnp.asarray(audio))
+        # same precision, different matmul reduction order: bound the
+        # divergence against the signal scale
+        ref = np.asarray(ref)
+        assert np.abs(np.asarray(got) - ref).max() / np.abs(ref).max() < 0.05
+
+    def test_runtime_fuse_ops_matches_reference(self, setup, rng):
+        """StreamingRuntime(fuse_ops=True) end-to-end parity: GRU gate
+        fusion + merged emb heads only change matmul layout/batching, so
+        outputs match to fp-reassociation level."""
+        model, df_state, rt = setup
+        rt_f = StreamingRuntime(model, df_state, fuse_ops=True)
+        # both transforms must actually be active for DFN3
+        assert "w_cat" in rt_f.model.params["df_gru"]["gru"]["layers"][0]
+        assert rt_f.cfg.get("emb_heads"), "emb heads should merge for DFN3"
+        audio = jnp.asarray(
+            rng.standard_normal((2, 480 * 5)).astype(np.float32) * 0.1
+        )
+        _, out_ref = rt.process(rt.init(2), audio)
+        _, out_f = rt_f.process(rt_f.init(2), audio)
+        np.testing.assert_allclose(
+            np.asarray(out_f), np.asarray(out_ref), atol=1e-4
+        )
+
+
 class TestPallasFrontend:
     def test_fused_kernel_matches_jnp(self, setup, rng):
         """Pallas fused frontend (interpret mode on CPU) must match the jnp
