@@ -64,11 +64,12 @@ class StreamServer:
 
     def __init__(self, model, df_state, host="127.0.0.1", port=7860,
                  runtime_params=None, max_streams: int = 16,
-                 batch_window_ms: float = 1.0):
+                 batch_window_ms: float = 1.0, fuse_ops: bool = False):
         from deepfilternet_tpu.streaming import RuntimeParams, StreamingRuntime
 
         self.rt = StreamingRuntime(model, df_state,
-                                   runtime_params or RuntimeParams())
+                                   runtime_params or RuntimeParams(),
+                                   fuse_ops=fuse_ops)
         self.hop = df_state.hop_size
         self.host = host
         self.port = port
@@ -307,13 +308,17 @@ def main(argv=None):
     parser.add_argument("--ws-port", type=int, default=0,
                         help="also serve a WebSocket bridge + browser demo "
                              "page on this port (serve_ws.py)")
+    parser.add_argument("--fuse-ops", action="store_true",
+                        help="op-chain-fused streaming cell (fewer dispatches "
+                             "per tick; see PERF.md)")
     args = parser.parse_args(argv)
     model, df_state, _ = init_df(args.model_base_dir, post_filter=args.pf)
     rp = RuntimeParams(atten_lim_db=args.atten_lim,
                        post_filter_beta=0.02 if args.pf else 0.0)
     server = StreamServer(model, df_state, args.host, args.port, rp,
                           max_streams=args.max_streams,
-                          batch_window_ms=args.batch_window_ms)
+                          batch_window_ms=args.batch_window_ms,
+                          fuse_ops=args.fuse_ops)
     server.start()
     print(f"Serving on {args.host}:{args.port} (frame = {df_state.hop_size} samples)")
     if args.ws_port:
