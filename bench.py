@@ -112,12 +112,15 @@ def main():
             t_major=os.environ.get("BENCH_TMAJOR", "1") == "1",
         )
     else:
+        # fuse_ops defaults ON: measured 62,480x vs 58,129x plain scan at
+        # S=4096/2s/bf16 (PERF.md r03) at 3e-7 parity. packed_carry measured
+        # a 47% loss; unroll>1 loses even composed with fuse_ops.
         rt = StreamingRuntime(
             model, df_state, dtype=dtype, unroll=unroll,
             fused=os.environ.get("BENCH_FUSED", "0") == "1",
             use_pallas=os.environ.get("BENCH_PFRONTEND", "0") == "1",
             packed_carry=os.environ.get("BENCH_PACKED", "0") == "1",
-            fuse_ops=os.environ.get("BENCH_FUSE_OPS", "0") == "1",
+            fuse_ops=os.environ.get("BENCH_FUSE_OPS", "1") == "1",
         )
 
     # 4096 streams amortize the scan's fixed per-iteration overhead better
