@@ -84,9 +84,14 @@ class StreamServer:
         self._free = deque(range(max_streams))
         self._pending: Dict[int, _Req] = {}
         self._cv = threading.Condition()
-        # observability: one dispatch should cover many client frames
+        # observability: one dispatch should cover many client frames.
+        # dispatch_times records the wall seconds of each TPU dispatch
+        # (process + host sync) — on co-located hardware this is the
+        # chip-tick cost that bounds sustainable streams; behind a relay
+        # it additionally contains the transport round trip.
         self.dispatches = 0
         self.frames_processed = 0
+        self.dispatch_times: list = []
 
         # Not every carry leaf is slot-major (GRU hiddens are [L, S, H]):
         # locate each leaf's stream axis by diffing two init shapes.
@@ -180,12 +185,14 @@ class StreamServer:
             for slot, req in batch.items():
                 x[slot] = req.audio
                 mask[slot] = True
+            t_disp = time.perf_counter()
             new_carry, out = self.rt.process(self._carry, jnp.asarray(x))
             with self._cv:
                 self._carry = self._select_active(
                     new_carry, self._carry, jnp.asarray(mask)
                 )
             out_np = np.asarray(out, np.float32)
+            self.dispatch_times.append(time.perf_counter() - t_disp)
             self.dispatches += 1
             self.frames_processed += len(batch)
             for slot, req in batch.items():

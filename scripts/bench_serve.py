@@ -31,13 +31,14 @@ HOP = 480
 SR = 48000
 
 
-def run_clients(port, n_clients, seconds, rng):
+def run_clients(port, n_clients, seconds, rng, srv=None):
     from deepfilternet_tpu.serve import StreamClient
 
     lat = [[] for _ in range(n_clients)]
     misses = [0] * n_clients
     barrier = threading.Barrier(n_clients + 1)
     stop = threading.Event()
+    disp_skip = [0]
 
     def client(ci):
         # no deadline: the warm frame below waits on the server's cold
@@ -67,19 +68,30 @@ def run_clients(port, n_clients, seconds, rng):
     for t in threads:
         t.start()
     barrier.wait()
+    if srv is not None:  # dispatches so far are warmup/compile — skip them
+        disp_skip[0] = len(srv.dispatch_times)
     time.sleep(seconds)
     stop.set()
     for t in threads:
         t.join(timeout=5)
     all_lat = np.array([x for l in lat for x in l]) * 1e3
     total = len(all_lat)
-    return {
+    r = {
         "hops": total,
         "p50_ms": round(float(np.percentile(all_lat, 50)), 2),
         "p99_ms": round(float(np.percentile(all_lat, 99)), 2),
         "max_ms": round(float(all_lat.max()), 2),
         "deadline_miss_pct": round(100.0 * sum(misses) / max(total, 1), 2),
     }
+    if srv is not None:
+        d = np.array(srv.dispatch_times[disp_skip[0]:]) * 1e3
+        if len(d):
+            # chip-tick cost per dispatch (includes transport RTT when the
+            # chip sits behind a relay, as on axon — compare against the
+            # bare 1-frame dispatch RTT to separate the two)
+            r["dispatch_ms_p50"] = round(float(np.percentile(d, 50)), 2)
+            r["dispatch_ms_p99"] = round(float(np.percentile(d, 99)), 2)
+    return r
 
 
 def main():
@@ -87,6 +99,8 @@ def main():
     ap.add_argument("--sweep", default="16,64,128,256")
     ap.add_argument("--seconds", type=float, default=5.0)
     ap.add_argument("--model", default=None)
+    ap.add_argument("--fuse-ops", action="store_true",
+                    help="op-chain-fused runtime (the measured-fastest config)")
     args = ap.parse_args()
 
     import jax
@@ -102,29 +116,54 @@ def main():
     from deepfilternet_tpu.serve import StreamServer
 
     print(f"device: {jax.devices()[0]}", flush=True)
+
+    # Bare device round-trip floor: one trivial dispatch + host sync. On
+    # co-located hardware this is ~0.1 ms; behind the axon HTTP relay it is
+    # tens of ms and dominates every per-hop latency below — subtract it to
+    # estimate what a co-located deployment would see per server tick.
+    import jax.numpy as jnp
+    x1 = jnp.zeros((8,), jnp.float32)
+    f1 = jax.jit(lambda v: v + 1.0)
+    f1(x1).block_until_ready()
+    bare = []
+    for _ in range(20):
+        t0 = time.perf_counter()
+        f1(x1).block_until_ready()
+        bare.append(time.perf_counter() - t0)
+    bare_ms = round(float(np.percentile(np.array(bare) * 1e3, 50)), 2)
+    print(f"bare 1-op dispatch round trip p50: {bare_ms} ms", flush=True)
+
     rng = np.random.default_rng(0)
     results = {}
     for n in [int(x) for x in args.sweep.split(",")]:
         model, df_state, _ = init_df(args.model)
-        srv = StreamServer(model, df_state, port=0, max_streams=n)
+        srv = StreamServer(model, df_state, port=0, max_streams=n,
+                           fuse_ops=args.fuse_ops)
         srv.start()
         port = srv._sock.getsockname()[1]
-        r = run_clients(port, n, args.seconds, rng)
+        r = run_clients(port, n, args.seconds, rng, srv=srv)
         r["batching_factor"] = round(
             srv.frames_processed / max(srv.dispatches, 1), 2
         )
         r["dispatches"] = srv.dispatches
-        r["sustainable"] = bool(r["p99_ms"] < 10.0
-                                and r["deadline_miss_pct"] < 1.0)
+        # e2e sustainability THROUGH THIS TRANSPORT (fails behind the relay
+        # by construction once bare_ms > 10); chip-tick sustainability is
+        # the transport-corrected estimate a co-located host would see.
+        r["sustainable_e2e"] = bool(r["p99_ms"] < 10.0
+                                    and r["deadline_miss_pct"] < 1.0)
+        if "dispatch_ms_p50" in r:
+            r["chip_tick_ms_est"] = round(
+                max(r["dispatch_ms_p50"] - bare_ms, 0.0), 2
+            )
+            r["sustainable_colocated"] = bool(r["chip_tick_ms_est"] < 10.0)
         srv.stop()
         results[str(n)] = r
         print(f"N={n:4d} {json.dumps(r)}", flush=True)
-        if not r["sustainable"]:
-            break
     out = os.path.join(REPO, "bench_serve.json")
     with open(out, "w") as f:
-        json.dump({"device": str(jax.devices()[0]), "results": results}, f,
-                  indent=2)
+        json.dump({"device": str(jax.devices()[0]),
+                   "bare_dispatch_rtt_ms_p50": bare_ms,
+                   "results": results}, f, indent=2)
     print(f"wrote {out}", flush=True)
 
 
