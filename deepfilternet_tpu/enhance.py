@@ -191,18 +191,65 @@ def _get_forward_jit(model: DfModel):
     return model._jit_cache[key]
 
 
+def _get_pipeline_jit(model: DfModel, df_state: DfState):
+    """ONE jitted program for the whole offline path: STFT -> features ->
+    forward -> atten-lim mixback -> ISTFT.
+
+    A single executable per enhance() call instead of three (features /
+    forward / synthesis) — matters both for XLA fusion across the stage
+    boundaries and for per-dispatch transport cost (the axon relay charges
+    ~27 ms per host sync; see PERF.md "Dispatch anatomy").
+    """
+    key = "offline_pipeline"
+    if key not in model._jit_cache:
+        module, cfg = model.module, model.cfg
+        stft_cfg = df_state.stft_cfg
+        widths = df_state.erb_widths
+        nb_df = cfg["nb_df"]
+        alpha = get_norm_alpha(df_state.sr, df_state.hop_size,
+                               config("NORM_TAU", 1.0, float, section="DF"))
+
+        @jax.jit
+        def run(params, state, audio, lim):
+            spec = stft(audio, stft_cfg)  # complex, interior only
+            erb_f = _erb_feat(spec, widths, alpha)
+            sf = _spec_feat(spec, nb_df, alpha)
+            spec_ri = jnp.stack([jnp.real(spec), jnp.imag(spec)], axis=-1)
+            sf_ri = jnp.stack([jnp.real(sf), jnp.imag(sf)], axis=-1)
+            (spec_e_ri, _m, _lsnr, _), _ = module.forward(
+                params, state, cfg, spec_ri, erb_f, sf_ri, train=False
+            )
+            # atten-lim mixback (lim==0 disables: reduces to spec_e)
+            spec_e_ri = spec_ri * lim + spec_e_ri * (1.0 - lim)
+            return istft_ri(spec_e_ri, stft_cfg)
+
+        model._jit_cache[key] = run
+    return model._jit_cache[key]
+
+
 def enhance(
     model: DfModel,
     df_state: DfState,
     audio: np.ndarray,
     pad: bool = True,
     atten_lim_db: Optional[float] = None,
+    backend: str = "offline",
 ) -> np.ndarray:
     """Enhance [C, T] float32 audio; returns the same shape when pad=True.
 
     Implements the reference's delay compensation (enhance.py:206-250):
     right-pad by n_fft before the STFT, trim [d, orig_len + d] after the
     inverse with d = n_fft - hop.
+
+    backend:
+      * "offline": whole-utterance frame-parallel forward as ONE jitted
+        program (reference df/enhance.py:206-250 semantics).
+      * "scan": route through the per-frame StreamingRuntime scan — the
+        measured-fastest path per stream-frame on TPU (PERF.md). Output is
+        frame-exact vs "offline" (tests/test_streaming.py); use for large
+        batches, where the offline conv activations [B,C,T,F] spill to HBM
+        while the scan's working set stays fused.
+      * "auto": "scan" for batches >= 16 rows, else "offline".
     """
     audio = np.atleast_2d(np.asarray(audio, np.float32))
     orig_len = audio.shape[-1]
@@ -212,23 +259,40 @@ def enhance(
     # trim to whole hops (streaming analysis consumes whole frames only)
     t_hops = audio.shape[-1] // hop
     audio = audio[..., : t_hops * hop]
-    nb_df = model.cfg["nb_df"]
-    spec, erb_f, spec_f = df_features(audio, df_state, nb_df)
-    run = _get_forward_jit(model)
-    spec_e_ri, m, lsnr = run(model.params, model.state, spec, erb_f, spec_f)
+    lim = 0.0
     if atten_lim_db is not None and abs(atten_lim_db) > 0:
         lim = 10.0 ** (-abs(atten_lim_db) / 20.0)
-        spec_e_ri = spec * lim + spec_e_ri * (1.0 - lim)
-    # jitted real-boundary synthesis (complex only interior to XLA programs)
-    key = ("istft_ri", df_state.fft_size, df_state.hop_size)
-    if key not in model._jit_cache:
-        cfg_ = df_state.stft_cfg
-        model._jit_cache[key] = jax.jit(lambda s: istft_ri(s, cfg_))
-    out = np.asarray(model._jit_cache[key](jnp.asarray(spec_e_ri)))
+    if backend == "auto":
+        backend = "scan" if audio.shape[0] >= 16 else "offline"
+    if backend == "scan":
+        rt = _get_scan_runtime(model, df_state, lim)
+        carry = rt.init(audio.shape[0])
+        _, out = rt.process(carry, jnp.asarray(audio))
+        out = np.asarray(out)
+    elif backend == "offline":
+        run = _get_pipeline_jit(model, df_state)
+        out = np.asarray(
+            run(model.params, model.state, jnp.asarray(audio),
+                jnp.float32(lim))
+        )
+    else:
+        raise ValueError(f"unknown backend {backend!r}")
     if pad:
         d = n_fft - hop
         out = out[:, d : orig_len + d]
     return out
+
+
+def _get_scan_runtime(model: DfModel, df_state: DfState, lim: float):
+    from deepfilternet_tpu.streaming import RuntimeParams, StreamingRuntime
+
+    key = ("scan_runtime", lim)
+    if key not in model._jit_cache:
+        atten = -20.0 * np.log10(lim) if lim > 0 else 0.0
+        model._jit_cache[key] = StreamingRuntime(
+            model, df_state, RuntimeParams(atten_lim_db=atten), fuse_ops=True
+        )
+    return model._jit_cache[key]
 
 
 # ---------------------------------------------------------------------------

@@ -19,12 +19,23 @@ Wire protocol (little-endian):
                        by fft-hop samples as in the reference runtime)
     n_samples == 0 closes the stream.
 
+Each tick is ONE device program (`_tick`): slot resets, the streaming
+cell, and the idle-slot carry freeze are all folded into a single jitted
+call with the carry donated (`donate_argnums`), so the device-side cost
+per tick is one executable launch. The host side is pipelined: the
+batcher thread only *submits* ticks (JAX async dispatch, no sync) and a
+fetcher stage pulls outputs to the host — so per-hop latency through a
+high-RTT transport (the axon relay charges ~27 ms per host sync, see
+bench_dispatch.json / PERF.md "Dispatch anatomy") overlaps across ticks
+instead of serializing.
+
 Run: python -m deepfilternet_tpu.serve [--port 7860] [--model DIR] [...]
 """
 
 from __future__ import annotations
 
 import argparse
+import queue
 import socket
 import struct
 import threading
@@ -56,15 +67,18 @@ class StreamServer:
 
     A single batcher thread owns the [max_streams]-wide carry. Connection
     handlers enqueue one 10 ms hop per tick; each tick gathers every
-    pending hop into ONE `rt.process` TPU dispatch and fans the outputs
-    back out. Idle slots participate in the dispatch with zero audio but
-    their carry entries are restored afterwards (jnp.where select), so a
-    silent client's stream state never advances.
+    pending hop into ONE `_tick` TPU dispatch (slot resets + streaming
+    cell + idle-slot carry freeze fused into one donated-carry program)
+    and hands the device output to a fetcher stage that fans results back
+    out. Idle slots participate in the dispatch with zero audio but their
+    carry entries are kept (jnp.where select inside `_tick`), so a silent
+    client's stream state never advances.
     """
 
     def __init__(self, model, df_state, host="127.0.0.1", port=7860,
                  runtime_params=None, max_streams: int = 16,
-                 batch_window_ms: float = 1.0, fuse_ops: bool = False):
+                 batch_window_ms: float = 1.0, fuse_ops: bool = False,
+                 max_inflight: int = 3):
         from deepfilternet_tpu.streaming import RuntimeParams, StreamingRuntime
 
         self.rt = StreamingRuntime(model, df_state,
@@ -80,18 +94,22 @@ class StreamServer:
         self._stop = threading.Event()
 
         self._carry = self.rt.init(max_streams)
-        self._slot_init = self.rt.init(1)
+        self._init = self.rt.init(max_streams)  # pristine slot states
         self._free = deque(range(max_streams))
+        self._reset_pending: set = set()
         self._pending: Dict[int, _Req] = {}
         self._cv = threading.Condition()
-        # observability: one dispatch should cover many client frames.
-        # dispatch_times records the wall seconds of each TPU dispatch
-        # (process + host sync) — on co-located hardware this is the
-        # chip-tick cost that bounds sustainable streams; behind a relay
-        # it additionally contains the transport round trip.
+        # fetch pipeline: the batcher submits device work without syncing;
+        # fetch jobs (device output + its batch) drain here. Bounded so a
+        # slow transport backpressures submission instead of queueing
+        # unboundedly.
+        self._fetchq: queue.Queue = queue.Queue(maxsize=max_inflight)
+        # observability. dispatch_times records submit->output-on-host wall
+        # seconds per tick (bounded; includes transport RTT behind a relay —
+        # use measure_chip_tick() for the device-only cost).
         self.dispatches = 0
         self.frames_processed = 0
-        self.dispatch_times: list = []
+        self.dispatch_times: deque = deque(maxlen=10_000)
 
         # Not every carry leaf is slot-major (GRU hiddens are [L, S, H]):
         # locate each leaf's stream axis by diffing two init shapes.
@@ -102,17 +120,8 @@ class StreamServer:
             assert len(diff) == 1, (x.shape, y.shape)
             self._stream_axes.append(diff[0])
 
-        def _reset_slot(carry, init1, slot):
-            flat, td = jax.tree.flatten(carry)
-            init_flat = jax.tree.leaves(init1)
-            out = []
-            for c, i, ax in zip(flat, init_flat, self._stream_axes):
-                cm = jnp.moveaxis(c, ax, 0)
-                im = jnp.moveaxis(i, ax, 0)
-                out.append(jnp.moveaxis(cm.at[slot].set(im[0]), 0, ax))
-            return jax.tree.unflatten(td, out)
-
-        def _select_active(new, old, mask):
+        def _mask_select(mask, new, old):
+            """Per-leaf jnp.where along each leaf's stream axis."""
             new_flat, td = jax.tree.flatten(new)
             old_flat = jax.tree.leaves(old)
             out = []
@@ -121,8 +130,18 @@ class StreamServer:
                 out.append(jnp.where(m, n, o))
             return jax.tree.unflatten(td, out)
 
-        self._reset_slot = jax.jit(_reset_slot)
-        self._select_active = jax.jit(_select_active)
+        def _tick(carry, init, x, active, reset):
+            """ONE device program per server tick.
+
+            reset-select (new connections) -> streaming cell over all
+            slots -> active-select (idle slots keep their pre-cell carry).
+            The carry is donated: the runtime reuses its buffers in place.
+            """
+            c0 = _mask_select(reset, init, carry)
+            c1, out = self.rt.process_frame(c0, x)
+            return _mask_select(active, c1, c0), out
+
+        self._tick = jax.jit(_tick, donate_argnums=(0,))
 
     # -- protocol ------------------------------------------------------------
 
@@ -143,9 +162,8 @@ class StreamServer:
             if not self._free:
                 return None
             slot = self._free.popleft()
-            self._carry = self._reset_slot(
-                self._carry, self._slot_init, jnp.asarray(slot)
-            )
+            # no dispatch here: the reset rides the slot's first tick
+            self._reset_pending.add(slot)
             return slot
 
     def _release_slot(self, slot: int):
@@ -166,6 +184,12 @@ class StreamServer:
     # -- batcher tick loop -----------------------------------------------------
 
     def _batch_loop(self):
+        """Submit stage: gathers pending hops into one `_tick` dispatch.
+
+        Never syncs on device results — the carry chain stays device-side
+        and outputs drain through `_fetch_loop`, so consecutive ticks
+        pipeline through a high-RTT transport.
+        """
         S, hop = self.max_streams, self.hop
         while not self._stop.is_set():
             with self._cv:
@@ -178,26 +202,68 @@ class StreamServer:
                 time.sleep(self.batch_window)
             with self._cv:
                 batch, self._pending = self._pending, {}
-            if not batch:
+                resets, self._reset_pending = self._reset_pending, set()
+            if not batch and not resets:
                 continue
             x = np.zeros((S, hop), np.float32)
-            mask = np.zeros((S,), bool)
+            active = np.zeros((S,), bool)
+            reset = np.zeros((S,), bool)
             for slot, req in batch.items():
                 x[slot] = req.audio
-                mask[slot] = True
+                active[slot] = True
+            for slot in resets:
+                reset[slot] = True
             t_disp = time.perf_counter()
-            new_carry, out = self.rt.process(self._carry, jnp.asarray(x))
-            with self._cv:
-                self._carry = self._select_active(
-                    new_carry, self._carry, jnp.asarray(mask)
-                )
-            out_np = np.asarray(out, np.float32)
-            self.dispatch_times.append(time.perf_counter() - t_disp)
+            self._carry, out = self._tick(
+                self._carry, self._init, jnp.asarray(x),
+                jnp.asarray(active), jnp.asarray(reset),
+            )
             self.dispatches += 1
             self.frames_processed += len(batch)
+            # hand the (async) device output to the fetch stage; blocks
+            # only when max_inflight ticks are already outstanding
+            while not self._stop.is_set():
+                try:
+                    self._fetchq.put((out, batch, t_disp), timeout=0.2)
+                    break
+                except queue.Full:
+                    continue
+
+    def _fetch_loop(self):
+        """Fetch stage: pulls each tick's output to the host and fans it
+        back out to the waiting connection handlers."""
+        while not self._stop.is_set():
+            try:
+                out, batch, t_disp = self._fetchq.get(timeout=0.2)
+            except queue.Empty:
+                continue
+            out_np = np.asarray(out, np.float32)
+            self.dispatch_times.append(time.perf_counter() - t_disp)
             for slot, req in batch.items():
                 req.out = out_np[slot]
                 req.event.set()
+
+    def measure_chip_tick(self, n: int = 50) -> float:
+        """Device-only cost of one server tick, in ms.
+
+        Chains `n` dependent `_tick` calls on a throwaway carry with
+        device-resident inputs and syncs ONCE at the end, so per-call
+        transport RTT amortizes away: (total - one RTT) / n is the
+        executable's device time. This is the number a co-located
+        deployment would pay per tick (see PERF.md "Dispatch anatomy").
+        """
+        carry = self.rt.init(self.max_streams)
+        x = jnp.zeros((self.max_streams, self.hop), jnp.float32)
+        active = jnp.ones((self.max_streams,), bool)
+        reset = jnp.zeros((self.max_streams,), bool)
+        # warm: compile + one sync
+        carry, out = self._tick(carry, self._init, x, active, reset)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(n):
+            carry, out = self._tick(carry, self._init, x, active, reset)
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / n * 1e3
 
     # -- connection handler ----------------------------------------------------
 
@@ -241,7 +307,7 @@ class StreamServer:
     def start(self):
         self._sock = socket.create_server((self.host, self.port))
         self._sock.settimeout(0.5)
-        for target in (self._accept_loop, self._batch_loop):
+        for target in (self._accept_loop, self._batch_loop, self._fetch_loop):
             t = threading.Thread(target=target, daemon=True)
             t.start()
             self._threads.append(t)

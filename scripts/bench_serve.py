@@ -1,16 +1,25 @@
-"""Stream-server scale test on the real chip (VERDICT r2 #6).
+"""Stream-server scale test on the real chip (VERDICT r3 #1, r4 rerun).
 
 Starts a StreamServer in-process (real TPU runtime), then for each N in
-the sweep spawns N concurrent clients paced at REALTIME (one 10 ms hop per
-10 ms), runs for --seconds, and reports:
+the sweep spawns N concurrent clients paced at REALTIME (one 10 ms hop
+per 10 ms), runs for --seconds, and reports two separate verdicts:
 
-  * achieved batching factor: client frames per TPU dispatch
-  * round-trip latency p50 / p99 per hop
-  * sustainability: fraction of hops that met the 10 ms deadline
+  * sustainable_e2e — did p99 round trip beat the 10 ms deadline THROUGH
+    THIS TRANSPORT? On axon the chip sits behind an HTTP relay that
+    charges ~27 ms per host sync/transfer (bench_dispatch.json), so this
+    is false by construction here; it is the honest end-to-end number for
+    this environment, not a property of the server.
+  * sustainable_colocated — is the tick's DEVICE-ONLY cost under 10 ms?
+    Measured by `StreamServer.measure_chip_tick()`: n dependent tick
+    dispatches with device-resident inputs, ONE host sync at the end, so
+    the per-call transport RTT amortizes away. This is what a co-located
+    deployment (chip on the host's PCIe/ICI, like the reference's
+    laptop-CPU runtime) would pay per 10 ms tick.
 
-The run is sustainable when p99 < 10 ms and deadline misses ~0; the
-largest sustainable N is the server's per-chip capacity at realtime
-pacing. Writes bench_serve.json at the repo root.
+Also records tunnel_rtt_ms (a >4 KB-payload synced dispatch — the true
+per-round-trip floor; the old sub-4 KB probe rode an async inline fast
+path and read 0.06 ms) and the achieved batching factor (client frames
+per TPU dispatch). Writes bench_serve.json at the repo root.
 
 Usage: python scripts/bench_serve.py [--sweep 16,64,128,256] [--seconds 5]
 """
@@ -38,7 +47,6 @@ def run_clients(port, n_clients, seconds, rng, srv=None):
     misses = [0] * n_clients
     barrier = threading.Barrier(n_clients + 1)
     stop = threading.Event()
-    disp_skip = [0]
 
     def client(ci):
         # no deadline: the warm frame below waits on the server's cold
@@ -69,7 +77,7 @@ def run_clients(port, n_clients, seconds, rng, srv=None):
         t.start()
     barrier.wait()
     if srv is not None:  # dispatches so far are warmup/compile — skip them
-        disp_skip[0] = len(srv.dispatch_times)
+        srv.dispatch_times.clear()
     time.sleep(seconds)
     stop.set()
     for t in threads:
@@ -84,13 +92,13 @@ def run_clients(port, n_clients, seconds, rng, srv=None):
         "deadline_miss_pct": round(100.0 * sum(misses) / max(total, 1), 2),
     }
     if srv is not None:
-        d = np.array(srv.dispatch_times[disp_skip[0]:]) * 1e3
+        d = np.array(srv.dispatch_times) * 1e3
         if len(d):
-            # chip-tick cost per dispatch (includes transport RTT when the
-            # chip sits behind a relay, as on axon — compare against the
-            # bare 1-frame dispatch RTT to separate the two)
-            r["dispatch_ms_p50"] = round(float(np.percentile(d, 50)), 2)
-            r["dispatch_ms_p99"] = round(float(np.percentile(d, 99)), 2)
+            # submit -> output-on-host per tick; includes the transport RTT
+            # behind a relay (ticks pipeline, so throughput can exceed
+            # 1/pipeline_latency)
+            r["pipeline_ms_p50"] = round(float(np.percentile(d, 50)), 2)
+            r["pipeline_ms_p99"] = round(float(np.percentile(d, 99)), 2)
     return r
 
 
@@ -99,8 +107,14 @@ def main():
     ap.add_argument("--sweep", default="16,64,128,256")
     ap.add_argument("--seconds", type=float, default=5.0)
     ap.add_argument("--model", default=None)
-    ap.add_argument("--fuse-ops", action="store_true",
-                    help="op-chain-fused runtime (the measured-fastest config)")
+    ap.add_argument("--no-fuse-ops", dest="fuse_ops", action="store_false",
+                    help="disable the op-chain-fused runtime (the measured-"
+                         "fastest config, default on)")
+    ap.add_argument("--capacity", default="",
+                    help="comma-separated slot-pool sizes for a device-only "
+                         "chip-tick sweep (no clients) — finds where the "
+                         "colocated 10 ms budget runs out, e.g. "
+                         "512,1024,2048,4096")
     args = ap.parse_args()
 
     import jax
@@ -117,53 +131,69 @@ def main():
 
     print(f"device: {jax.devices()[0]}", flush=True)
 
-    # Bare device round-trip floor: one trivial dispatch + host sync. On
-    # co-located hardware this is ~0.1 ms; behind the axon HTTP relay it is
-    # tens of ms and dominates every per-hop latency below — subtract it to
-    # estimate what a co-located deployment would see per server tick.
+    # True transport round-trip floor: a synced dispatch whose output is
+    # too big for the relay's inline fast path (>4 KB). Compare
+    # bench_dispatch.json: sub-4 KB outputs return async and read ~0.06 ms,
+    # which is NOT the cost a per-tick host sync pays.
     import jax.numpy as jnp
-    x1 = jnp.zeros((8,), jnp.float32)
+    x1 = jnp.zeros((4096,), jnp.float32)
     f1 = jax.jit(lambda v: v + 1.0)
-    f1(x1).block_until_ready()
-    bare = []
+    jax.block_until_ready(f1(x1))
+    rtts = []
     for _ in range(20):
         t0 = time.perf_counter()
-        f1(x1).block_until_ready()
-        bare.append(time.perf_counter() - t0)
-    bare_ms = round(float(np.percentile(np.array(bare) * 1e3, 50)), 2)
-    print(f"bare 1-op dispatch round trip p50: {bare_ms} ms", flush=True)
+        jax.block_until_ready(f1(x1))
+        rtts.append(time.perf_counter() - t0)
+    tunnel_rtt_ms = round(float(np.percentile(np.array(rtts) * 1e3, 50)), 2)
+    print(f"tunnel RTT (synced 16 KB dispatch) p50: {tunnel_rtt_ms} ms", flush=True)
+
+    capacity = {}
+    for n in [int(x) for x in args.capacity.split(",") if x]:
+        model, df_state, _ = init_df(args.model)
+        srv = StreamServer(model, df_state, port=0, max_streams=n,
+                           fuse_ops=args.fuse_ops)
+        ms = round(srv.measure_chip_tick(n=50), 2)
+        capacity[str(n)] = {"chip_tick_ms": ms,
+                            "deadline_margin_x": round(10.0 / ms, 1)}
+        print(f"capacity N={n:5d} tick={ms} ms "
+              f"(margin {capacity[str(n)]['deadline_margin_x']}x)", flush=True)
 
     rng = np.random.default_rng(0)
     results = {}
-    for n in [int(x) for x in args.sweep.split(",")]:
+    for n in [int(x) for x in args.sweep.split(",") if x]:
         model, df_state, _ = init_df(args.model)
         srv = StreamServer(model, df_state, port=0, max_streams=n,
                            fuse_ops=args.fuse_ops)
         srv.start()
         port = srv._sock.getsockname()[1]
+        # device-only tick cost first (idle server, shared executable)
+        chip_tick_ms = round(srv.measure_chip_tick(n=50), 2)
         r = run_clients(port, n, args.seconds, rng, srv=srv)
         r["batching_factor"] = round(
             srv.frames_processed / max(srv.dispatches, 1), 2
         )
         r["dispatches"] = srv.dispatches
-        # e2e sustainability THROUGH THIS TRANSPORT (fails behind the relay
-        # by construction once bare_ms > 10); chip-tick sustainability is
-        # the transport-corrected estimate a co-located host would see.
         r["sustainable_e2e"] = bool(r["p99_ms"] < 10.0
                                     and r["deadline_miss_pct"] < 1.0)
-        if "dispatch_ms_p50" in r:
-            r["chip_tick_ms_est"] = round(
-                max(r["dispatch_ms_p50"] - bare_ms, 0.0), 2
-            )
-            r["sustainable_colocated"] = bool(r["chip_tick_ms_est"] < 10.0)
+        r["chip_tick_ms"] = chip_tick_ms
+        r["sustainable_colocated"] = bool(chip_tick_ms < 10.0)
         srv.stop()
         results[str(n)] = r
         print(f"N={n:4d} {json.dumps(r)}", flush=True)
     out = os.path.join(REPO, "bench_serve.json")
+    prev = {}
+    if os.path.exists(out):  # partial runs update, not clobber
+        try:
+            with open(out) as f:
+                prev = json.load(f)
+        except Exception:
+            prev = {}
+    payload = {"device": str(jax.devices()[0]),
+               "tunnel_rtt_ms_p50": tunnel_rtt_ms,
+               "results": results or prev.get("results", {}),
+               "capacity": capacity or prev.get("capacity", {})}
     with open(out, "w") as f:
-        json.dump({"device": str(jax.devices()[0]),
-                   "bare_dispatch_rtt_ms_p50": bare_ms,
-                   "results": results}, f, indent=2)
+        json.dump(payload, f, indent=2)
     print(f"wrote {out}", flush=True)
 
 
