@@ -544,6 +544,88 @@ def fuse_gru_layer(lp: Params) -> Params:
     }
 
 
+def fold_conv_layer(prm: Params, st: Params, cfg: Dict,
+                    eps: float = 1e-5) -> Tuple[Params, Dict]:
+    """Fold a separable conv block's depthwise + pointwise pair and its
+    eval-mode BatchNorm into ONE dense conv (+bias). Inference-only (uses
+    the BN running stats; training keeps the separable layout).
+
+    PERF.md op-chain lever: the per-frame scan is dispatch-latency-bound
+    (~17 µs per op at S=4096 regardless of width), so replacing two convs
+    + affine with one conv wins despite the dense fold's extra MACs
+    (ch=16 kernels: ~2.5x the separable FLOPs, which are ~free at these
+    sizes). Works for both normal and transposed conv blocks; layers
+    without a pointwise stage still get groups densified and BN folded.
+    """
+    w = prm["w"]
+    groups = cfg["groups"]
+    transposed = bool(cfg.get("transposed"))
+    if transposed:
+        # torch layout [I, O/g, kt, kf]; groups split the INPUT channels,
+        # group g's inputs feed output block [g*og:(g+1)*og]
+        i_ch, og = w.shape[0], w.shape[1]
+        o_ch = og * groups
+        if groups > 1:
+            ig = i_ch // groups
+            dense = jnp.zeros((i_ch, o_ch) + w.shape[2:], w.dtype)
+            for g in range(groups):
+                dense = dense.at[g * ig : (g + 1) * ig,
+                                 g * og : (g + 1) * og].set(
+                    w[g * ig : (g + 1) * ig]
+                )
+        else:
+            dense = w
+        out_axis = 1
+    else:
+        # [O, I/g, kt, kf]; groups split both, block-diagonally
+        o_ch, ig = w.shape[0], w.shape[1]
+        i_ch = ig * groups
+        if groups > 1:
+            og = o_ch // groups
+            dense = jnp.zeros((o_ch, i_ch) + w.shape[2:], w.dtype)
+            for g in range(groups):
+                dense = dense.at[g * og : (g + 1) * og,
+                                 g * ig : (g + 1) * ig].set(
+                    w[g * og : (g + 1) * og]
+                )
+        else:
+            dense = w
+        out_axis = 0
+    b = prm.get("b", jnp.zeros((o_ch,), w.dtype))
+    if "pw" in prm:
+        pw = prm["pw"][:, :, 0, 0]  # [O2, O]
+        o_ch = pw.shape[0]
+        if transposed:
+            dense = jnp.einsum("oc,ichw->iohw", pw, dense)
+        else:
+            dense = jnp.einsum("oc,cihw->oihw", pw, dense)
+        b = pw @ b
+    if cfg["norm"]:
+        s = prm["bn"]["scale"] * jax.lax.rsqrt(st["bn"]["var"] + eps)
+        shape = [1, 1, 1, 1]
+        shape[out_axis] = o_ch
+        dense = dense * s.reshape(shape)
+        b = (b - st["bn"]["mean"]) * s + prm["bn"]["bias"]
+    new_cfg = dict(cfg, groups=1, norm=False)
+    return {"w": dense, "b": b}, new_cfg
+
+
+def fold_conv_tree(params: Params, state: Params, layers: Dict
+                   ) -> Tuple[Params, Dict]:
+    """Fold every conv block named in `layers` (a cfg["layers"] dict of
+    static conv configs). Returns (params', layers'); `state` BN entries
+    become unused (eval stats are baked into the folded weights)."""
+    new_params = dict(params)
+    new_layers = dict(layers)
+    for name, lcfg in layers.items():
+        if not isinstance(lcfg, dict) or "kernel" not in lcfg:
+            continue  # GRU/linear cfg entries
+        new_params[name], new_layers[name] = fold_conv_layer(
+            params[name], state.get(name, {}), lcfg
+        )
+    return new_params, new_layers
+
+
 _GRU_LAYER_KEYS = frozenset(("w_ih", "w_hh", "b_ih", "b_hh"))
 
 

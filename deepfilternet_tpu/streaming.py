@@ -131,15 +131,17 @@ class StreamingRuntime:
         if fuse_ops:
             # op-chain restructuring (PERF.md "Where the floor is"): the
             # per-frame scan is dispatch-latency-bound, so (a) fuse each
-            # GRU layer's two gate matmuls into one concat-K matmul, and
-            # (b) merge the grouped-linear heads that read the same `emb`
-            # (dec/df linear_in + df_skip) into one einsum. Composes with
-            # `fused` for (a) — FusedDfNet3 reads GRUs from the params
-            # passed at call time — while (b) is used by the plain DFN3
-            # cell only (the dense-folded cell keeps its own layout).
+            # GRU layer's two gate matmuls into one concat-K matmul, (b)
+            # merge the grouped-linear heads that read the same `emb`
+            # (dec/df linear_in + df_skip) into one einsum, and (c) fold
+            # every separable conv's depthwise+pointwise pair + eval-mode
+            # BN into ONE dense conv. (a) composes with `fused` —
+            # FusedDfNet3 reads GRUs from the params passed at call time —
+            # while (b)/(c) are used by the plain cells only (the
+            # dense-folded cell keeps its own layout).
             import copy
 
-            from deepfilternet_tpu.nn import fuse_gru_tree
+            from deepfilternet_tpu.nn import fold_conv_tree, fuse_gru_tree
 
             m = copy.copy(self.model)
             m.params = fuse_gru_tree(self.model.params)
@@ -148,6 +150,11 @@ class StreamingRuntime:
                 m.params, head_spec = merge(m.params)
                 if head_spec:
                     self.cfg = dict(self.cfg, emb_heads=head_spec)
+            if not fused and "layers" in self.cfg:
+                m.params, folded_layers = fold_conv_tree(
+                    m.params, self.model.state, self.cfg["layers"]
+                )
+                self.cfg = dict(self.cfg, layers=folded_layers)
             self.model = m
         self.fuse_ops = fuse_ops
         if dtype != jnp.float32:

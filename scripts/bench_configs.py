@@ -85,27 +85,53 @@ def main():
     }
 
     # ---- 2. DFN3 batch enhancement with post-filter ---------------------
+    # The r03 number (56.8x aggregate) conflated three things: the offline
+    # forward's [B,C,T,F] HBM-resident activations, ~200 MB of H2D+D2H
+    # through the ~35 MB/s axon tunnel, and the harness's extra re-upload.
+    # r04 splits them: batch enhancement routes through the streaming scan
+    # (enhance backend="scan", frame-exact vs offline — tests/test_enhance
+    # .py::test_scan_backend_matches_offline), compute is timed with
+    # device-staged input and no output fetch (what a co-located datagen
+    # pipeline pays), and the tunnel transfer is reported separately.
+    from deepfilternet_tpu.enhance import _get_scan_runtime
+
     b = 16 if args.quick else 256
     secs = 2.0
     batch = (rng.standard_normal((b, int(secs * SR) // HOP * HOP)) * 0.1
              ).astype(np.float32)
     m3, st3, _ = init_df(os.path.join(REPO, "pretrained", "dfn3_fixture_demo"),
                          post_filter=True)
-    compile_s, wall = _bench(lambda: jnp.asarray(enhance(m3, st3, batch)))
+    rt3 = _get_scan_runtime(m3, st3, 0.0)
+    dev_batch = jnp.asarray(batch)
+    jax.block_until_ready(dev_batch)
+    carry0 = rt3.init(b)
+    compile_s, wall = _bench(lambda: rt3.process(carry0, dev_batch)[1])
+    t0 = time.time()
+    jax.block_until_ready(jnp.asarray(batch))
+    h2d_s = time.time() - t0
+    _, out_dev = rt3.process(carry0, dev_batch)
+    t0 = time.time()
+    np.asarray(out_dev)
+    d2h_s = time.time() - t0
     results["dfn3_batch_pf"] = {
         "rtf": round(b * secs / wall, 1), "wall_ms": round(wall * 1e3, 2),
         "audio_s": secs, "batch": b, "compile_s": round(compile_s, 1),
-        "post_filter": True, "delay_compensated": True,
+        "post_filter": True, "delay_compensated": True, "backend": "scan",
+        "tunnel_h2d_ms": round(h2d_s * 1e3, 1),
+        "tunnel_d2h_ms": round(d2h_s * 1e3, 1),
+        "rtf_e2e_tunnel": round(b * secs / (wall + h2d_s + d2h_s), 1),
     }
 
     # ---- 3. DFN1 ERB-gain-only ablation ---------------------------------
     m1, st1, _ = init_df(os.path.join(REPO, "pretrained", "dfn1_fixture_demo"),
                          mask_only=True)
-    compile_s, wall = _bench(lambda: jnp.asarray(enhance(m1, st1, batch)))
+    rt1b = _get_scan_runtime(m1, st1, 0.0)
+    carry1 = rt1b.init(b)
+    compile_s, wall = _bench(lambda: rt1b.process(carry1, dev_batch)[1])
     results["dfn1_erb_only_batch"] = {
         "rtf": round(b * secs / wall, 1), "wall_ms": round(wall * 1e3, 2),
         "audio_s": secs, "batch": b, "compile_s": round(compile_s, 1),
-        "mask_only": True,
+        "mask_only": True, "backend": "scan",
     }
 
     # ---- 4. low-latency streaming: single stream, frame by frame --------
@@ -157,6 +183,32 @@ def main():
         print(f"df_order={order}: rtf={sweep[f'order{order}']['rtf']}", flush=True)
     config.reset()
     results["df_order_sweep_s1024"] = sweep
+
+    # ---- 6. export artifact round trip ON THE CHIP -----------------------
+    # The deploy-artifact equivalent of the reference's tract pulse check
+    # (scripts/test_model_tract_cli.sh): export the bundled DFN3 to a
+    # tar.gz, load the serialized StableHLO back, and run one batch on the
+    # device backend (VERDICT r3 #8; CPU round trip already covered by
+    # tests/test_aux.py::test_export_and_reload).
+    import tempfile
+
+    from deepfilternet_tpu.scripts.export import export_model, load_exported
+
+    with tempfile.TemporaryDirectory() as td:
+        art = os.path.join(td, "dfn3.tar.gz")
+        export_model(os.path.join(REPO, "pretrained", "dfn3_fixture_demo"), art)
+        fn = load_exported(art, "offline.stablehlo")
+        spec = jnp.zeros((1, 10, 481, 2))
+        fe = jnp.zeros((1, 10, 32))
+        fs = jnp.zeros((1, 10, 96, 2))
+        compile_s, wall = _bench(lambda: fn(spec, fe, fs)[0])
+        spec_e = fn(spec, fe, fs)[0]
+        results["export_stablehlo_roundtrip"] = {
+            "ok": bool(np.all(np.isfinite(np.asarray(spec_e)))),
+            "backend": str(jax.devices()[0].platform),
+            "wall_ms": round(wall * 1e3, 2),
+            "compile_s": round(compile_s, 1),
+        }
 
     for k, v in results.items():
         print(k, json.dumps(v), flush=True)
