@@ -231,9 +231,12 @@ def analysis_step_ri(
     """
     buf = jnp.concatenate([state, frame], axis=-1)
     cos_m, sin_m = dft_matrices(cfg.fft_size, cfg.hop_size)
-    re = buf @ jnp.asarray(cos_m)
-    im = buf @ jnp.asarray(sin_m)
-    return buf[..., cfg.hop_size :], re, im
+    # ONE [fft, 2F] matmul for both parts: the per-frame scan is
+    # dispatch-latency-bound, so halving the DFT op count beats keeping
+    # two narrow matmuls (identical numerics — per-column reductions)
+    f = cos_m.shape[1]
+    ri = buf @ jnp.asarray(np.concatenate([cos_m, sin_m], axis=1))
+    return buf[..., cfg.hop_size :], ri[..., :f], ri[..., f:]
 
 
 def synthesis_step_ri(
@@ -244,7 +247,11 @@ def synthesis_step_ri(
     fft = cfg.fft_size
     hop = cfg.hop_size
     re_m, im_m = idft_matrices(fft)
-    x = spec_re @ jnp.asarray(re_m) + spec_im @ jnp.asarray(im_m)
+    # ONE [2F, fft] matmul (concat-K) instead of two + add; differs from
+    # the two-matmul form only by fp reduction order
+    x = jnp.concatenate([spec_re, spec_im], axis=-1) @ jnp.asarray(
+        np.concatenate([re_m, im_m], axis=0)
+    )
     out = x[..., :hop] + state[..., :hop]
     tail = x[..., hop:]
     d = fft - hop

@@ -106,13 +106,21 @@ class StreamingRuntime:
     def __init__(self, model, df_state, params: RuntimeParams = RuntimeParams(),
                  dtype=jnp.float32, use_pallas: bool = False, fused: bool = False,
                  unroll: int = 1, packed_carry: bool = False,
-                 fuse_ops: bool = False):
+                 fuse_ops: bool = False, out_dtype=None,
+                 fuse_convs: bool = False):
         self.model = model
         self.df_state = df_state
         self.cfg = model.cfg
         self.rt = params
         self.dtype = dtype
         self.use_pallas = use_pallas
+        # dtype of the stacked scan output. The scan materializes
+        # [T, S, hop] in HBM before the caller's reshape; at S=8192 that
+        # buffer (plus the input) is what OOMs, not the carry (GRU/norm
+        # carries are already reduced via `dtype`). bf16 halves it at the
+        # cost of output quantization (~8 mantissa bits) — a capacity
+        # knob for bulk datagen, not for quality-critical paths.
+        self.out_dtype = out_dtype
         # lax.scan unroll factor: >1 lets XLA software-pipeline independent
         # work (frontend DFT of frame t+1 against GRU chain of frame t)
         self.unroll = unroll
@@ -150,7 +158,11 @@ class StreamingRuntime:
                 m.params, head_spec = merge(m.params)
                 if head_spec:
                     self.cfg = dict(self.cfg, emb_heads=head_spec)
-            if not fused and "layers" in self.cfg:
+            if fuse_convs and not fused and "layers" in self.cfg:
+                # (c) measured-and-REFUTED on chip (PERF.md r04: 59.9k vs
+                # 62.7k at S=4096 — XLA already fuses dw+pw+BN+ReLU into
+                # one fusion, so densifying only adds MACs). Kept opt-in
+                # as documentation.
                 m.params, folded_layers = fold_conv_tree(
                     m.params, self.model.state, self.cfg["layers"]
                 )
@@ -278,6 +290,8 @@ class StreamingRuntime:
         smem, out = synthesis_step_ri(
             carry.synthesis_mem, jnp.real(spec_e), jnp.imag(spec_e), self.stft_cfg
         )
+        if self.out_dtype is not None:
+            out = out.astype(self.out_dtype)
         return StreamCarry(amem, smem, mn, un, ctr, mstate), out
 
     def _apply_runtime_stages(self, spec, spec_e, lsnr, mask):

@@ -192,6 +192,81 @@ class TestFusedGru:
         )
 
 
+class TestFoldConv:
+    def test_fold_conv_layer_matches(self, rng):
+        """Dense dw+pw+eval-BN fold must match the separable block for
+        normal and transposed conv variants (up to fp reassociation)."""
+        import jax
+
+        from deepfilternet_tpu.nn import (
+            conv2d_norm_act_step,
+            conv_transpose2d_norm_act_step,
+            fold_conv_layer,
+            init_conv2d_norm_act,
+            init_conv_transpose2d_norm_act,
+        )
+
+        cases = [
+            (init_conv2d_norm_act, dict(kernel=(3, 3)), 2, 16),   # grouped+pw
+            (init_conv2d_norm_act, dict(kernel=(1, 3), fstride=2), 16, 16),
+            (init_conv2d_norm_act, dict(kernel=(1, 1)), 16, 16),  # dw-only
+            (init_conv2d_norm_act, dict(kernel=(3, 3)), 1, 16),   # plain
+            (init_conv_transpose2d_norm_act, dict(kernel=(1, 3), fstride=2),
+             16, 16),
+        ]
+        for i, (init, kw, ci, co) in enumerate(cases):
+            prm, st, cfg = init(jax.random.PRNGKey(i), ci, co,
+                                bias=False, separable=True, **kw)
+            # non-trivial BN stats so the fold is actually tested
+            if st:
+                st["bn"]["mean"] = jnp.asarray(
+                    rng.standard_normal(co).astype(np.float32) * 0.1)
+                st["bn"]["var"] = jnp.asarray(
+                    1.0 + 0.5 * rng.random(co).astype(np.float32))
+            fp, fcfg = fold_conv_layer(prm, st, cfg)
+            assert fcfg["groups"] == 1 and not fcfg["norm"]
+            x = jnp.asarray(
+                rng.standard_normal((3, ci, cfg["kernel"][0], 24)
+                                    ).astype(np.float32))
+            step = (conv_transpose2d_norm_act_step if cfg.get("transposed")
+                    else conv2d_norm_act_step)
+            ref = step(prm, st, cfg, x)
+            got = step(fp, {}, fcfg, x)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       atol=1e-5, err_msg=f"case {i}")
+
+    def test_runtime_folds_convs(self, setup, rng):
+        """fuse_convs=True (opt-in; measured-and-refuted on chip, PERF.md
+        r04) must fold the DFN3 conv stack and keep e2e parity."""
+        model, df_state, rt = setup
+        rt_f = StreamingRuntime(model, df_state, fuse_ops=True,
+                                fuse_convs=True)
+        L = rt_f.cfg["layers"]
+        assert L["erb_conv1"]["groups"] == 1 and not L["erb_conv1"]["norm"]
+        assert "pw" not in rt_f.model.params["erb_conv1"]
+        assert L["convt2"]["groups"] == 1 and not L["convt2"]["norm"]
+        audio = jnp.asarray(
+            rng.standard_normal((2, 480 * 4)).astype(np.float32) * 0.1
+        )
+        _, ref = rt.process(rt.init(2), audio)
+        _, got = rt_f.process(rt_f.init(2), audio)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+    def test_out_dtype_bf16(self, setup, rng):
+        """out_dtype=bf16 (S=8192 capacity knob) only quantizes the output."""
+        model, df_state, rt = setup
+        rt_b = StreamingRuntime(model, df_state, out_dtype=jnp.bfloat16)
+        audio = jnp.asarray(
+            rng.standard_normal((2, 480 * 4)).astype(np.float32) * 0.1
+        )
+        _, ref = rt.process(rt.init(2), audio)
+        _, got = rt_b.process(rt_b.init(2), audio)
+        assert got.dtype == jnp.bfloat16
+        ref = np.asarray(ref)
+        scale = np.abs(ref).max()
+        assert np.abs(np.asarray(got, np.float32) - ref).max() < 0.01 * scale
+
+
 class TestPallasFrontend:
     def test_fused_kernel_matches_jnp(self, setup, rng):
         """Pallas fused frontend (interpret mode on CPU) must match the jnp
