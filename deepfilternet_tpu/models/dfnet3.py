@@ -442,6 +442,43 @@ def merge_emb_heads(params: Dict) -> Tuple[Dict, Tuple]:
     return out, tuple((n, int(w.shape[1])) for n, w, _ in heads)
 
 
+def merge_dec_df_gru0(params: Dict) -> Tuple[Dict, bool]:
+    """Merge the first GRU layers of dec_emb_gru and df_gru into ONE
+    matmul (PERF.md op-chain lever). Both read the merged-emb-heads
+    outputs in the same cell position, and their gate matmuls are the two
+    widest genuinely parallel MXU ops in the frame: stacking them
+    block-diagonally over the concatenated [x_dec, x_df, h_dec, h_df]
+    vector removes one sequential dispatch. Requires the fused w_cat
+    layout (run fuse_gru_tree first). Gate math stays per-GRU (columns
+    [4H_dec | 4H_df] slice apart). Returns (params', merged?).
+    """
+    try:
+        l1 = params["dec_emb_gru"]["gru"]["layers"][0]
+        l2 = params["df_gru"]["gru"]["layers"][0]
+    except (KeyError, IndexError):
+        return params, False
+    if "w_cat" not in l1 or "w_cat" not in l2:
+        return params, False
+    w1, w2 = l1["w_cat"], l2["w_cat"]  # [(I+H), 4H]
+    h1 = w1.shape[1] // 4
+    h2 = w2.shape[1] // 4
+    i1 = w1.shape[0] - h1
+    i2 = w2.shape[0] - h2
+    z = lambda r, c: jnp.zeros((r, c), w1.dtype)
+    rows = [
+        jnp.concatenate([w1[:i1], z(i1, 4 * h2)], axis=1),       # x_dec
+        jnp.concatenate([z(i2, 4 * h1), w2[:i2]], axis=1),       # x_df
+        jnp.concatenate([w1[i1:], z(h1, 4 * h2)], axis=1),       # h_dec
+        jnp.concatenate([z(h2, 4 * h1), w2[i2:]], axis=1),       # h_df
+    ]
+    out = dict(params)
+    out["_decdf_gru0"] = {
+        "w": jnp.concatenate(rows, axis=0),
+        "b": jnp.concatenate([l1["b_cat"], l2["b_cat"]]),
+    }
+    return out, True
+
+
 def streaming_cell(
     params: Dict,
     state: Dict,
@@ -504,11 +541,44 @@ def streaming_cell(
     lsnr = jax.nn.sigmoid(lsnr_raw)
     lsnr = lsnr * (cfg["lsnr_max"] - cfg["lsnr_min"]) + cfg["lsnr_min"]
 
-    # -- erb decoder
-    dec_h, demb = squeezed_gru_s_step(
-        params["dec_emb_gru"], L["dec_emb_gru"], carry.dec_gru_h, emb,
-        xin=ACT[L["dec_emb_gru"]["linear_act"]](eh["dec"]) if "dec" in eh else None,
-    )
+    # -- erb decoder (+ df-decoder GRU layer 0 when pair-merged)
+    df_h0 = None
+    if cfg.get("decdf_gru0") and "dec" in eh and "df" in eh:
+        # merge_dec_df_gru0: ONE matmul drives both first GRU layers
+        from deepfilternet_tpu.nn.layers import gru_cell_from_gates
+
+        x1 = ACT[L["dec_emb_gru"]["linear_act"]](eh["dec"])
+        x2 = ACT[L["df_gru"]["linear_act"]](eh["df"])
+        h1, h2 = carry.dec_gru_h[0], carry.df_gru_h[0]
+        mp = params["_decdf_gru0"]
+        g = jnp.concatenate([x1, x2, h1, h2], axis=-1) @ mp["w"] + mp["b"]
+        nh1 = h1.shape[-1]
+        h1n = gru_cell_from_gates(h1, g[..., : 4 * nh1])
+        df_h0 = gru_cell_from_gates(h2, g[..., 4 * nh1 :])
+        # remaining dec layers (none for DFN3 defaults) + linear_out/skip
+        dec_p = params["dec_emb_gru"]
+        out1, dec_hs = h1n, [h1n]
+        from deepfilternet_tpu.nn.layers import _gru_cell_cat
+
+        for li, lp in enumerate(dec_p["gru"]["layers"][1:], start=1):
+            out1 = _gru_cell_cat(carry.dec_gru_h[li], out1,
+                                 lp["w_cat"], lp["b_cat"])
+            dec_hs.append(out1)
+        dec_h = jnp.stack(dec_hs, axis=0)
+        demb = out1
+        if "linear_out" in dec_p:
+            demb = ACT[L["dec_emb_gru"]["linear_act"]](
+                grouped_linear_apply(dec_p["linear_out"], demb)
+            )
+        if L["dec_emb_gru"]["skip"] == "identity":
+            demb = demb + emb
+        elif L["dec_emb_gru"]["skip"] == "groupedlinear":
+            demb = demb + grouped_linear_apply(dec_p["skip"], emb)
+    else:
+        dec_h, demb = squeezed_gru_s_step(
+            params["dec_emb_gru"], L["dec_emb_gru"], carry.dec_gru_h, emb,
+            xin=ACT[L["dec_emb_gru"]["linear_act"]](eh["dec"]) if "dec" in eh else None,
+        )
     f4 = cfg["nb_erb"] // 4  # e3's freq size (two stride-2 encoder convs)
     demb = jnp.transpose(demb.reshape(b, f4, -1), (0, 2, 1))  # [B, C, F/4]
 
@@ -522,10 +592,25 @@ def streaming_cell(
     m = dstep("conv0_out", dstep("conv0p", e0) + d1)[:, 0]  # [B, E]
 
     # -- df decoder
-    df_h, c = squeezed_gru_s_step(
-        params["df_gru"], L["df_gru"], carry.df_gru_h, emb,
-        xin=ACT[L["df_gru"]["linear_act"]](eh["df"]) if "df" in eh else None,
-    )
+    if df_h0 is not None:
+        # layer 0 already computed in the pair-merged matmul above
+        from deepfilternet_tpu.nn.layers import _gru_cell_cat
+
+        out2, df_hs = df_h0, [df_h0]
+        for li, lp in enumerate(params["df_gru"]["gru"]["layers"][1:], start=1):
+            out2 = _gru_cell_cat(carry.df_gru_h[li], out2,
+                                 lp["w_cat"], lp["b_cat"])
+            df_hs.append(out2)
+        df_h, c = jnp.stack(df_hs, axis=0), out2
+        if "linear_out" in params["df_gru"]:
+            c = ACT[L["df_gru"]["linear_act"]](
+                grouped_linear_apply(params["df_gru"]["linear_out"], c)
+            )
+    else:
+        df_h, c = squeezed_gru_s_step(
+            params["df_gru"], L["df_gru"], carry.df_gru_h, emb,
+            xin=ACT[L["df_gru"]["linear_act"]](eh["df"]) if "df" in eh else None,
+        )
     if cfg["df_gru_skip"] == "identity":
         c = c + emb
     elif cfg["df_gru_skip"] == "groupedlinear":

@@ -500,21 +500,26 @@ def gru_step(
     return jnp.stack(new_h, axis=0), out
 
 
+def gru_cell_from_gates(h, g):
+    """Fused-layout gate math on a precomputed pre-activation g [..., 4H]:
+    columns [r | z | i_n | h_n] (torch semantics: n = tanh(i_n + r*h_n))."""
+    hidden = h.shape[-1]
+    r = jax.nn.sigmoid(g[..., :hidden])
+    z = jax.nn.sigmoid(g[..., hidden : 2 * hidden])
+    n = jnp.tanh(g[..., 2 * hidden : 3 * hidden] + r * g[..., 3 * hidden :])
+    return (1.0 - z) * n + z * h
+
+
 def _gru_cell_cat(h, x, w_cat, b_cat):
     """One GRU step as a single matmul over the concatenated [x, h] input.
 
     w_cat columns: [r+z gates summed over (x,h) | i_n (x only) | h_n (h
     only)] — the n gate needs its input/hidden halves separate because the
-    reset gate scales only the hidden half (torch semantics:
-    n = tanh(i_n + r * h_n)). Matches :func:`_gru_cell` up to matmul
-    reduction order.
+    reset gate scales only the hidden half. Matches :func:`_gru_cell` up
+    to matmul reduction order.
     """
-    hidden = w_cat.shape[1] // 4
     g = jnp.concatenate([x, h], axis=-1) @ w_cat + b_cat
-    r = jax.nn.sigmoid(g[..., :hidden])
-    z = jax.nn.sigmoid(g[..., hidden : 2 * hidden])
-    n = jnp.tanh(g[..., 2 * hidden : 3 * hidden] + r * g[..., 3 * hidden :])
-    return (1.0 - z) * n + z * h
+    return gru_cell_from_gates(h, g)
 
 
 def fuse_gru_layer(lp: Params) -> Params:

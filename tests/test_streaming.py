@@ -182,6 +182,7 @@ class TestFusedGru:
         # both transforms must actually be active for DFN3
         assert "w_cat" in rt_f.model.params["df_gru"]["gru"]["layers"][0]
         assert rt_f.cfg.get("emb_heads"), "emb heads should merge for DFN3"
+        assert rt_f.cfg.get("decdf_gru0"), "dec/df GRU0 should pair-merge"
         audio = jnp.asarray(
             rng.standard_normal((2, 480 * 5)).astype(np.float32) * 0.1
         )
