@@ -158,6 +158,62 @@ class TestDynamicBatching:
             srv.stop()
 
 
+class TestMultichannelServer:
+    def test_stereo_clients_share_reduced_mask(self, rng):
+        """E2e stereo through the server with reduce_mask=max (VERDICT r3
+        #7): two connections carry a stereo pair as a channel group; the
+        server output must equal StreamingRuntime with the same
+        RuntimeParams on the [2, T] pair (shared ERB gains, per-channel
+        DF), which itself must differ from independent enhancement."""
+        import threading
+
+        from deepfilternet_tpu.streaming import RuntimeParams
+
+        model, df_state, _ = init_df()
+        rp = RuntimeParams(reduce_mask="max", n_channels=2)
+        srv = StreamServer(model, df_state, port=0, max_streams=2,
+                           runtime_params=rp, batch_window_ms=120.0)
+        srv.start()
+        port = srv._sock.getsockname()[1]
+        try:
+            n_frames = 4
+            # a stereo pair with distinct channels
+            audio = rng.standard_normal((2, 480 * n_frames)).astype(np.float32) * 0.1
+            outs = [None, None]
+            barrier = threading.Barrier(2)
+
+            def run(ch):
+                c = StreamClient(port=port)
+                got = []
+                for k in range(n_frames):
+                    barrier.wait()  # keep both hops inside one tick window
+                    got.append(c.process_frame(audio[ch, k * 480 : (k + 1) * 480]))
+                c.close()
+                outs[ch] = np.concatenate(got)
+
+            # connect L first so channel->slot order is deterministic
+            t0 = threading.Thread(target=run, args=(0,))
+            t0.start()
+            import time as _t
+            _t.sleep(0.3)
+            t1 = threading.Thread(target=run, args=(1,))
+            t1.start()
+            t0.join(180)
+            t1.join(180)
+
+            rt = StreamingRuntime(model, df_state, rp)
+            _, expected = rt.process(rt.init(2), jnp.asarray(audio))
+            got = np.stack(outs)
+            np.testing.assert_allclose(got, np.asarray(expected), atol=1e-5)
+
+            # and the shared mask actually changes the result vs independent
+            rt_ind = StreamingRuntime(model, df_state)
+            _, ind = rt_ind.process(rt_ind.init(2), jnp.asarray(audio))
+            assert not np.allclose(got, np.asarray(ind), atol=1e-5)
+        finally:
+            srv.stop()
+
+
 class TestCClient:
     def test_c_client_round_trip(self, server, rng, tmp_path):
         """Compile the native C client and stream frames through the server,
