@@ -132,6 +132,9 @@ class TdDataset:
             aug.RandLFilt(_get_env("DF_P_LFILT", 0.25)),
             aug.RandBiquadFilter(_get_env("DF_P_BIQUAD", 0.0), sr=sr),
             aug.RandResample(_get_env("DF_P_RESAMPLE", 0.1), sr=sr),
+            # VTLP "new speaker" synthesis — default off (reference
+            # parity); data-ceiling experiment knob (pretrained/README.md)
+            aug.RandVTLP(_get_env("DF_P_VTLP", 0.0), sr=sr),
         ])
         self.sp_distortions_td = aug.Compose([])
         self.air_absorption: Optional[aug.AirAbsorptionAugmentation] = None

@@ -75,7 +75,8 @@ def main(model_dir: str, budget_s: float = 600.0, lr: float = 3e-4) -> None:
     cfgs = [Hdf5Cfg("clean.hdf5", 16), Hdf5Cfg("noise_flac.hdf5", 1)]
     td = TdDataset("/root/reference/assets", cfgs, "train",
                    max_len_s=max_len_s, snrs=snrs, seed=1,
-                   p_reverb=float(os.environ.get("DEMO_P_REVERB", "0")))
+                   p_reverb=float(os.environ.get("DEMO_P_REVERB", "0")),
+                   p_interfer_sp=float(os.environ.get("DEMO_P_INTERFER", "0")))
     fd = FdDataset(td)
     dl = DataLoader(fd, batch_size=batch_size, num_workers=6, drop_last=True)
 
