@@ -8,6 +8,14 @@ RuntimeParams atten-lim / post-filter / LSNR gating).
 
 Unsupported RuntimeParams (multichannel mask reduction) raise at
 construction — use StreamingRuntime for those.
+
+STATUS (r04): FROZEN as a benchmark artifact. The kernel is the measured
+floor proof that removing XLA's dispatch boundaries buys nothing at
+S=4096 (53.7k vs the shipped scan's 62.5k; PERF.md "Whole-cell Pallas
+kernel sweep") and the home of the Mosaic lowering lore recorded there.
+It keeps working (`BENCH_RUNTIME=pallas|xcell`) and its parity tests
+stay as rot guards, but future cell changes are NOT obliged to keep it
+in sync — demote its tests with a PERF.md note instead.
 """
 
 from __future__ import annotations
