@@ -121,9 +121,11 @@ def main():
             use_pallas=os.environ.get("BENCH_PFRONTEND", "0") == "1",
             packed_carry=os.environ.get("BENCH_PACKED", "0") == "1",
             fuse_ops=os.environ.get("BENCH_FUSE_OPS", "1") == "1",
-            # refuted lever (PERF.md r04): dense dw+pw+BN fold measured
-            # 59.9k vs 62.7k — XLA already fuses the separable chain
+            # refuted levers (PERF.md r04 "refuted levers" — all three
+            # measured slower than the r03 fuse_ops config): dense
+            # dw+pw+BN conv fold; dec/df GRU pair merge
             fuse_convs=os.environ.get("BENCH_FUSE_CONVS", "0") == "1",
+            fuse_gru_pairs=os.environ.get("BENCH_FUSE_PAIRS", "0") == "1",
             # capacity knob for S=8192: the stacked [T,S,hop] scan output
             # is what OOMs past 4096, not the carry (see PERF.md)
             out_dtype=jnp.bfloat16

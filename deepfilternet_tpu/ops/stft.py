@@ -231,12 +231,13 @@ def analysis_step_ri(
     """
     buf = jnp.concatenate([state, frame], axis=-1)
     cos_m, sin_m = dft_matrices(cfg.fft_size, cfg.hop_size)
-    # ONE [fft, 2F] matmul for both parts: the per-frame scan is
-    # dispatch-latency-bound, so halving the DFT op count beats keeping
-    # two narrow matmuls (identical numerics — per-column reductions)
-    f = cos_m.shape[1]
-    ri = buf @ jnp.asarray(np.concatenate([cos_m, sin_m], axis=1))
-    return buf[..., cfg.hop_size :], ri[..., :f], ri[..., f:]
+    # Two separate matmuls, DELIBERATELY: merging into one [fft, 2F]
+    # product measured -4% at S=4096 (PERF.md r04 refuted levers — the
+    # merged output breaks XLA's epilogue fusion into the downstream
+    # power/feature math and costs an extra HBM round trip).
+    re = buf @ jnp.asarray(cos_m)
+    im = buf @ jnp.asarray(sin_m)
+    return buf[..., cfg.hop_size :], re, im
 
 
 def synthesis_step_ri(
@@ -247,11 +248,8 @@ def synthesis_step_ri(
     fft = cfg.fft_size
     hop = cfg.hop_size
     re_m, im_m = idft_matrices(fft)
-    # ONE [2F, fft] matmul (concat-K) instead of two + add; differs from
-    # the two-matmul form only by fp reduction order
-    x = jnp.concatenate([spec_re, spec_im], axis=-1) @ jnp.asarray(
-        np.concatenate([re_m, im_m], axis=0)
-    )
+    # two matmuls + add, deliberately (see analysis_step_ri note)
+    x = spec_re @ jnp.asarray(re_m) + spec_im @ jnp.asarray(im_m)
     out = x[..., :hop] + state[..., :hop]
     tail = x[..., hop:]
     d = fft - hop

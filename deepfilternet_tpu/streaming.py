@@ -107,7 +107,7 @@ class StreamingRuntime:
                  dtype=jnp.float32, use_pallas: bool = False, fused: bool = False,
                  unroll: int = 1, packed_carry: bool = False,
                  fuse_ops: bool = False, out_dtype=None,
-                 fuse_convs: bool = False):
+                 fuse_convs: bool = False, fuse_gru_pairs: bool = False):
         self.model = model
         self.df_state = df_state
         self.cfg = model.cfg
@@ -158,14 +158,17 @@ class StreamingRuntime:
                 m.params, head_spec = merge(m.params)
                 if head_spec:
                     self.cfg = dict(self.cfg, emb_heads=head_spec)
-                    # (d) pair-merge the dec/df first GRU layers (they
-                    # read the merged heads' outputs in the same cell
-                    # position): one matmul instead of two
-                    pair = getattr(m.module, "merge_dec_df_gru0", None)
-                    if pair is not None:
-                        m.params, ok = pair(m.params)
-                        if ok:
-                            self.cfg = dict(self.cfg, decdf_gru0=True)
+                    # (d) pair-merging the dec/df first GRU layers was
+                    # measured-and-REFUTED on chip (PERF.md r04: -9% —
+                    # the block-diag zero halves double already-MXU-bound
+                    # MACs, which costs more than the saved dispatch).
+                    # Kept opt-in as documentation.
+                    if fuse_gru_pairs:
+                        pair = getattr(m.module, "merge_dec_df_gru0", None)
+                        if pair is not None:
+                            m.params, ok = pair(m.params)
+                            if ok:
+                                self.cfg = dict(self.cfg, decdf_gru0=True)
             if fuse_convs and not fused and "layers" in self.cfg:
                 # (c) measured-and-REFUTED on chip (PERF.md r04: 59.9k vs
                 # 62.7k at S=4096 — XLA already fuses dw+pw+BN+ReLU into

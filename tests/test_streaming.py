@@ -182,7 +182,6 @@ class TestFusedGru:
         # both transforms must actually be active for DFN3
         assert "w_cat" in rt_f.model.params["df_gru"]["gru"]["layers"][0]
         assert rt_f.cfg.get("emb_heads"), "emb heads should merge for DFN3"
-        assert rt_f.cfg.get("decdf_gru0"), "dec/df GRU0 should pair-merge"
         audio = jnp.asarray(
             rng.standard_normal((2, 480 * 5)).astype(np.float32) * 0.1
         )
@@ -251,6 +250,21 @@ class TestFoldConv:
         )
         _, ref = rt.process(rt.init(2), audio)
         _, got = rt_f.process(rt_f.init(2), audio)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+    def test_gru_pair_merge_parity(self, setup, rng):
+        """fuse_gru_pairs=True (opt-in; measured-and-refuted on chip,
+        PERF.md r04) pair-merges the dec/df first GRU layers and must
+        keep e2e parity."""
+        model, df_state, rt = setup
+        rt_p = StreamingRuntime(model, df_state, fuse_ops=True,
+                                fuse_gru_pairs=True)
+        assert rt_p.cfg.get("decdf_gru0"), "dec/df GRU0 should pair-merge"
+        audio = jnp.asarray(
+            rng.standard_normal((2, 480 * 4)).astype(np.float32) * 0.1
+        )
+        _, ref = rt.process(rt.init(2), audio)
+        _, got = rt_p.process(rt_p.init(2), audio)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
 
     def test_out_dtype_bf16(self, setup, rng):
