@@ -78,12 +78,28 @@ class StreamServer:
     def __init__(self, model, df_state, host="127.0.0.1", port=7860,
                  runtime_params=None, max_streams: int = 16,
                  batch_window_ms: float = 1.0, fuse_ops: bool = False,
-                 max_inflight: int = 3):
+                 max_inflight: int = 3, mesh=None):
         from deepfilternet_tpu.streaming import RuntimeParams, StreamingRuntime
 
-        self.rt = StreamingRuntime(model, df_state,
-                                   runtime_params or RuntimeParams(),
-                                   fuse_ops=fuse_ops)
+        if mesh is not None:
+            # multi-chip serving: the slot pool shards over the mesh's
+            # data axis (parallel/streams.py) — per-tick work fans out
+            # over ICI with zero cross-chip traffic (weights replicated),
+            # so capacity scales linearly with mesh size
+            from deepfilternet_tpu.parallel.streams import (
+                ShardedStreamingRuntime,
+            )
+
+            self.rt = ShardedStreamingRuntime(
+                model, df_state, mesh=mesh,
+                params=runtime_params or RuntimeParams(), fuse_ops=fuse_ops)
+            assert max_streams % mesh.devices.size == 0, (
+                f"max_streams={max_streams} must divide over "
+                f"{mesh.devices.size} devices")
+        else:
+            self.rt = StreamingRuntime(model, df_state,
+                                       runtime_params or RuntimeParams(),
+                                       fuse_ops=fuse_ops)
         self.hop = df_state.hop_size
         self.host = host
         self.port = port
@@ -113,7 +129,10 @@ class StreamServer:
 
         # Not every carry leaf is slot-major (GRU hiddens are [L, S, H]):
         # locate each leaf's stream axis by diffing two init shapes.
-        a3, a4 = jax.tree.leaves(self.rt.init(3)), jax.tree.leaves(self.rt.init(4))
+        # (multiples of the mesh size so a sharded runtime can init them)
+        k = mesh.devices.size if mesh is not None else 1
+        a3, a4 = (jax.tree.leaves(self.rt.init(3 * k)),
+                  jax.tree.leaves(self.rt.init(4 * k)))
         self._stream_axes = []
         for x, y in zip(a3, a4):
             diff = [i for i, (p, q) in enumerate(zip(x.shape, y.shape)) if p != q]

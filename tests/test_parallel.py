@@ -51,6 +51,34 @@ class TestShardedStreaming:
             srt.init(3)
 
 
+class TestShardedServer:
+    def test_server_over_mesh_matches_single_device(self, rng):
+        """StreamServer(mesh=...) shards its slot pool over the 8-device
+        mesh; a client's stream must match the unsharded runtime exactly
+        (multi-chip serving story, zero cross-chip hot-path traffic)."""
+        from deepfilternet_tpu.serve import StreamClient, StreamServer
+
+        model, df_state, _ = init_df()
+        mesh = data_parallel_mesh()
+        srv = StreamServer(model, df_state, port=0, max_streams=16,
+                           mesh=mesh, batch_window_ms=0.0)
+        srv.start()
+        port = srv._sock.getsockname()[1]
+        try:
+            audio = rng.standard_normal((1, 480 * 4)).astype(np.float32) * 0.1
+            c = StreamClient(port=port)
+            got = np.concatenate(
+                [c.process_frame(audio[0, k * 480 : (k + 1) * 480])
+                 for k in range(4)]
+            )
+            c.close()
+            rt = StreamingRuntime(model, df_state)
+            _, expected = rt.process(rt.init(1), jnp.asarray(audio))
+            np.testing.assert_allclose(got, np.asarray(expected)[0], atol=1e-5)
+        finally:
+            srv.stop()
+
+
 class TestDataParallelTrainStep:
     def test_gradients_match_single_device(self, rng):
         """DP-sharded train step must produce the same update as one device
