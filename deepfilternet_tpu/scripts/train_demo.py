@@ -123,20 +123,29 @@ def main(model_dir: str, budget_s: float = 600.0, lr: float = 3e-4) -> None:
     # augmentation realizations) instead of re-cycling the same pools —
     # the fixture corpus's substitute for a large training set
     offset = int(os.environ.get("DEMO_POOL_OFFSET", "0"))
+    t_pool = time.time()
     pool = list(dl.iter_epoch("train", offset))
     raw = []
     for ep in range(offset, offset + n_pools):
         for b in (pool if ep == offset else dl.iter_epoch("train", ep)):
             raw.append(batch_to_arrays(b))
+    print(f"pool: {len(raw)} batches from {n_pools} epochs "
+          f"in {time.time() - t_pool:.0f}s", flush=True)
     # pad every batch to one global [B, T, ...] shape: a single jit
     # signature for the train step (shape churn = minutes of recompiles)
     tmax = max(a["noisy"].shape[1] for a in raw)
-    # DEMO_PAD_FRAMES pins the padded length across rounds so the
+    # DEMO_PAD_FRAMES pins the padded STFT-frame count (dim 1 of the
+    # spectral arrays, ~100 frames/s — NOT samples) across rounds so the
     # persistent compilation cache (JAX_COMPILATION_CACHE_DIR) hits
     pad_frames = int(os.environ.get("DEMO_PAD_FRAMES", "0"))
+    if pad_frames > 10 * tmax:
+        raise SystemExit(
+            f"DEMO_PAD_FRAMES={pad_frames} is frames (got tmax={tmax}); "
+            "passing a sample count here pads ~GB per batch")
     if pad_frames:
         assert pad_frames >= tmax, (pad_frames, tmax)
         tmax = pad_frames
+    t_h2d = time.time()
     arr_pool = []
     for a in raw:
         t = a["noisy"].shape[1]
@@ -145,16 +154,28 @@ def main(model_dir: str, budget_s: float = 600.0, lr: float = 3e-4) -> None:
                                   + [(0, 0)] * (v.ndim - 2)))
             for k, v in a.items()
         })
+    jax.block_until_ready(arr_pool[-1])
+    print(f"pad to {tmax} frames + H2D: {time.time() - t_h2d:.0f}s",
+          flush=True)
     t0 = time.time()
     losses = []
     n = step0
     best = (float("inf"), ts, n)  # (avg loss, state, step)
     window = max(len(arr_pool), 8)
+    t_rep = t0
     while time.time() - t0 < budget_s:
         for arrays in arr_pool:
             ts, m = step(ts, arrays, lr_a, wd_a)
             losses.append(float(m["loss"]))
             n += 1
+            if n - step0 == 1:
+                print(f"compile+step1: {time.time() - t0:.0f}s", flush=True)
+            elif time.time() - t_rep > 60:
+                t_rep = time.time()
+                rate = (n - step0) / (t_rep - t0)
+                print(f"step {n}: loss(avg {min(len(losses), window)}) "
+                      f"{np.mean(losses[-window:]):.4f}  {rate:.1f} steps/s",
+                      flush=True)
         if len(losses) >= window:
             avg = float(np.mean(losses[-window:]))
             if avg < best[0]:
