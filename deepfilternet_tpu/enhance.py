@@ -119,6 +119,11 @@ def init_df(
                     post_filter=post_filter)
     if post_filter:
         model.cfg = dict(cfg, mask_pf=True)
+    # mask-only: skip the DF stage, output the ERB-masked spectrum
+    # (reference: df/enhance.py:172-175 + checkpoint.py:32 run_df=False)
+    mask_only = mask_only or config("MASK_ONLY", False, bool, section="train")
+    if mask_only:
+        model.cfg = dict(model.cfg, run_df=False)
     suffix = "new"
     if model_base_dir is not None:
         ckpt_dir = os.path.join(model_base_dir, "checkpoints")
@@ -313,7 +318,10 @@ def main(args=None):
     parser = argparse.ArgumentParser(
         prog="deepFilter", description="Enhance noisy audio with DeepFilterNet-TPU"
     )
-    parser.add_argument("noisy_audio_files", nargs="+", help="WAV files to enhance")
+    parser.add_argument("noisy_audio_files", nargs="*", help="WAV files to enhance")
+    parser.add_argument("--noisy-dir", "-i", default=None,
+                        help="Enhance every file in this directory instead of "
+                             "listing noisy_audio_files")
     parser.add_argument("--model-base-dir", "-m", default=None,
                         help="Directory with config.ini and checkpoints/")
     parser.add_argument("--output-dir", "-o", default=".")
@@ -323,8 +331,20 @@ def main(args=None):
     parser.add_argument("--no-delay-compensation", "-D", dest="compensate_delay",
                         action="store_false")
     parser.add_argument("--no-suffix", action="store_true")
+    parser.add_argument("--no-df-stage", action="store_true",
+                        help="Mask-only ablation: skip the deep-filtering "
+                             "stage, output the ERB-masked spectrum")
     parser.add_argument("--epoch", "-e", default="best")
     args = parser.parse_args(args)
+    if args.noisy_dir is not None:
+        if args.noisy_audio_files:
+            parser.error("pass either noisy_audio_files or --noisy-dir, not both")
+        args.noisy_audio_files = sorted(
+            os.path.join(args.noisy_dir, f) for f in os.listdir(args.noisy_dir)
+            if os.path.isfile(os.path.join(args.noisy_dir, f))
+        )
+    if not args.noisy_audio_files:
+        parser.error("no input files (pass WAV paths or --noisy-dir)")
 
     model_dir = args.model_base_dir
     if model_dir is None and os.path.isdir(DEFAULT_MODEL_DIR):
@@ -332,7 +352,8 @@ def main(args=None):
         # tract.rs:22-92 / maybe_download_model)
         model_dir = DEFAULT_MODEL_DIR
     model, df_state, suffix = init_df(
-        model_dir, post_filter=args.pf, epoch=args.epoch
+        model_dir, post_filter=args.pf, epoch=args.epoch,
+        mask_only=args.no_df_stage,
     )
     os.makedirs(args.output_dir, exist_ok=True)
     for path in args.noisy_audio_files:

@@ -257,9 +257,14 @@ def forward(params, state, cfg, spec, feat_erb, feat_spec, train=False):
     coefs = jnp.moveaxis(coefs.reshape(b, t, cfg["df_order"], 2, cfg["nb_df"]), -1, -2)
     coefs_c = jnp.transpose(coefs[..., 0] + 1j * coefs[..., 1], (0, 2, 1, 3))  # [B,O,T,F']
 
-    filt = deep_filter_offline(spec_m, coefs_c, cfg["nb_df"], cfg["df_lookahead"])
-    lo = filt[..., : cfg["nb_df"]] * alpha + spec_m[..., : cfg["nb_df"]] * (1 - alpha)
-    out = jnp.concatenate([lo, spec_m[..., cfg["nb_df"] :]], axis=-1)
+    if cfg.get("run_df", True):
+        filt = deep_filter_offline(spec_m, coefs_c, cfg["nb_df"], cfg["df_lookahead"])
+        lo = filt[..., : cfg["nb_df"]] * alpha + spec_m[..., : cfg["nb_df"]] * (1 - alpha)
+        out = jnp.concatenate([lo, spec_m[..., cfg["nb_df"] :]], axis=-1)
+    else:
+        # mask-only ablation (reference run_df=False, deepfilternet.py:274-279):
+        # the DF stage is skipped and the ERB-masked spectrum is the output
+        out = spec_m
 
     spec_e_ri = jnp.stack([jnp.real(out), jnp.imag(out)], axis=-1)
     return (spec_e_ri, m, lsnr, alpha), ns
@@ -363,8 +368,13 @@ def streaming_cell(params, state, cfg, carry: StreamState1, spec_ri, feat_erb,
 
     ring = carry.df_ring_re + 1j * carry.df_ring_im
     new_ring, filt = deep_filter(ring, spec_m[:, :nb_df], coefs_c)
-    lo = filt * alpha + spec_m[:, :nb_df] * (1 - alpha)
-    spec_e = jnp.concatenate([lo, spec_m[:, nb_df:]], axis=-1)
+    if cfg.get("run_df", True):
+        lo = filt * alpha + spec_m[:, :nb_df] * (1 - alpha)
+        spec_e = jnp.concatenate([lo, spec_m[:, nb_df:]], axis=-1)
+    else:
+        # mask-only ablation: DF stage output unused; ring still advances so
+        # the carry stays identical to the run_df path (toggle-safe)
+        spec_e = spec_m
 
     def roll(win, old, k):
         return win[:, :, 1:] if k > 1 else old
@@ -467,8 +477,11 @@ def forward_chunk(params, state, cfg, carry: StreamState1, spec, feat_erb,
     lo_ext = jnp.concatenate([ring, spec_m[..., :nb_df]], axis=1)
     un = jnp.stack([lo_ext[:, n : n + t] for n in range(order)], axis=2)
     filt = jnp.sum(un * coefs_c, axis=2)
-    lo = filt * alpha + spec_m[..., :nb_df] * (1 - alpha)
-    spec_e = jnp.concatenate([lo, spec_m[..., nb_df:]], axis=-1)
+    if cfg.get("run_df", True):
+        lo = filt * alpha + spec_m[..., :nb_df] * (1 - alpha)
+        spec_e = jnp.concatenate([lo, spec_m[..., nb_df:]], axis=-1)
+    else:
+        spec_e = spec_m  # mask-only ablation; ring still advances (toggle-safe)
 
     new_carry = StreamState1(
         erb_buf=erb_buf,

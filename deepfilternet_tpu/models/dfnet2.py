@@ -330,7 +330,9 @@ def forward(params, state, cfg, spec, feat_erb, feat_spec, train=False):
 
     coefs_c = jnp.transpose(coefs[..., 0] + 1j * coefs[..., 1], (0, 2, 1, 3))  # [B,O,T,F']
     out = spec_m
-    for _ in range(cfg["df_n_iter"]):
+    # mask-only ablation (reference run_df=False, deepfilternet2.py:498-503):
+    # coefs are still computed/returned; the DF op is just not applied
+    for _ in range(cfg["df_n_iter"] if cfg.get("run_df", True) else 0):
         filt = deep_filter_offline(out, coefs_c, cfg["nb_df"], cfg["df_lookahead"])
         lo = _apply_alpha_df(out[..., : cfg["nb_df"]], filt[..., : cfg["nb_df"]],
                              alpha, cfg["use_alpha"])
@@ -464,8 +466,11 @@ def streaming_cell(params, state, cfg, carry: StreamState2, spec_ri, feat_erb,
 
     ring = carry.df_ring_re + 1j * carry.df_ring_im
     new_ring, filt = deep_filter(ring, spec_m[:, :nb_df], coefs_c)
-    lo = _apply_alpha_df(spec_m[:, :nb_df], filt, alpha, cfg["use_alpha"])
-    spec_e = jnp.concatenate([lo, spec_m[:, nb_df:]], axis=-1)
+    if cfg.get("run_df", True):
+        lo = _apply_alpha_df(spec_m[:, :nb_df], filt, alpha, cfg["use_alpha"])
+        spec_e = jnp.concatenate([lo, spec_m[:, nb_df:]], axis=-1)
+    else:
+        spec_e = spec_m  # mask-only ablation; ring still advances (toggle-safe)
 
     kt0 = cfg["conv_kernel_inp"][0]
     new_carry = StreamState2(
@@ -590,8 +595,11 @@ def forward_chunk(params, state, cfg, carry: StreamState2, spec, feat_erb,
     taps = [lo_ext[:, n : n + t] for n in range(order)]
     un = jnp.stack(taps, axis=2)  # [B, T, O, F']
     filt = jnp.sum(un * coefs_c, axis=2)
-    lo = _apply_alpha_df(spec_m[..., :nb_df], filt, alpha, cfg["use_alpha"])
-    spec_e = jnp.concatenate([lo, spec_m[..., nb_df:]], axis=-1)
+    if cfg.get("run_df", True):
+        lo = _apply_alpha_df(spec_m[..., :nb_df], filt, alpha, cfg["use_alpha"])
+        spec_e = jnp.concatenate([lo, spec_m[..., nb_df:]], axis=-1)
+    else:
+        spec_e = spec_m  # mask-only ablation; ring still advances (toggle-safe)
 
     new_carry = StreamState2(
         erb_buf=fe[:, -ctx:][:, None] if ctx > 0 else carry.erb_buf,

@@ -349,8 +349,15 @@ def forward(
     b, t = coefs.shape[:2]
     coefs_ri = coefs.reshape(b, t, cfg["nb_df"], cfg["df_order"], 2)
     coefs_c = jnp.transpose(coefs_ri[..., 0] + 1j * coefs_ri[..., 1], (0, 3, 1, 2))
-    spec_e = deep_filter_offline(spec_c, coefs_c, cfg["nb_df"], cfg["df_lookahead"])
-    spec_e = jnp.concatenate([spec_e[..., : cfg["nb_df"]], spec_m[..., cfg["nb_df"] :]], axis=-1)
+    if cfg.get("run_df", True):
+        spec_e = deep_filter_offline(spec_c, coefs_c, cfg["nb_df"], cfg["df_lookahead"])
+        spec_e = jnp.concatenate(
+            [spec_e[..., : cfg["nb_df"]], spec_m[..., cfg["nb_df"] :]], axis=-1
+        )
+    else:
+        # mask-only ablation (reference run_df=False, deepfilternet3.py:436):
+        # coefs are still computed/returned; the DF op is just not applied
+        spec_e = spec_m
 
     if cfg["mask_pf"]:
         beta = cfg["pf_beta"]
@@ -639,7 +646,10 @@ def streaming_cell(
     # gains at frame t apply to spec frame t)
     bin_gains = m @ jnp.asarray(cfg["erb_inv_fb"])  # [B, F]
     spec_m = spec_c * bin_gains
-    spec_e = jnp.concatenate([y_lo, spec_m[:, nb_df:]], axis=-1)
+    if cfg.get("run_df", True):
+        spec_e = jnp.concatenate([y_lo, spec_m[:, nb_df:]], axis=-1)
+    else:
+        spec_e = spec_m  # mask-only ablation; ring still advances (toggle-safe)
 
     if cfg["mask_pf"]:
         beta = cfg["pf_beta"]
@@ -765,7 +775,10 @@ def forward_chunk(
 
     bin_gains = m @ jnp.asarray(cfg["erb_inv_fb"])
     spec_m = spec_c * bin_gains
-    spec_e = jnp.concatenate([y_lo, spec_m[..., nb_df:]], axis=-1)
+    if cfg.get("run_df", True):
+        spec_e = jnp.concatenate([y_lo, spec_m[..., nb_df:]], axis=-1)
+    else:
+        spec_e = spec_m  # mask-only ablation; ring still advances (toggle-safe)
     if cfg["mask_pf"]:
         beta = cfg["pf_beta"]
         eps = 1e-12

@@ -126,12 +126,18 @@ def forward(params, state, cfg, spec, feat_erb, feat_spec, train=False):
     cov_c = cov.reshape(b, t, nb_df, o, o, 2)
     cov_c = cov_c[..., 0] + 1j * cov_c[..., 1]  # [B,T,F',O,O]
 
-    mf = mf_wf if cfg["mfop_method"] == "WF" else mf_mvdr
-    spec_e = mf(
-        spec_c, ifc_c, cov_c, nb_df, o, cfg["df_lookahead"],
-        cholesky_decomp=cfg["mf_use_cholesky_decomp"],
-        inverse=cfg["mf_est_inverse"],
-    )
-    spec_e = jnp.concatenate([spec_e[..., :nb_df], spec_m[..., nb_df:]], axis=-1)
+    if cfg.get("run_df", True):
+        mf = mf_wf if cfg["mfop_method"] == "WF" else mf_mvdr
+        spec_e = mf(
+            spec_c, ifc_c, cov_c, nb_df, o, cfg["df_lookahead"],
+            cholesky_decomp=cfg["mf_use_cholesky_decomp"],
+            inverse=cfg["mf_est_inverse"],
+        )
+        spec_e = jnp.concatenate(
+            [spec_e[..., :nb_df], spec_m[..., nb_df:]], axis=-1
+        )
+    else:
+        # mask-only ablation: skip the multiframe (WF/MVDR) filter stage
+        spec_e = spec_m
     spec_e_ri = jnp.stack([jnp.real(spec_e), jnp.imag(spec_e)], axis=-1)
     return (spec_e_ri, mask, lsnr, (ifc, cov)), ns
