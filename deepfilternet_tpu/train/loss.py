@@ -71,6 +71,40 @@ def hann_stft(x: jnp.ndarray, n_fft: int, hop: Optional[int] = None) -> jnp.ndar
     return jnp.fft.rfft(frames, axis=-1) / math.sqrt(n_fft)
 
 
+def loss_istft(spec: jnp.ndarray, n_fft: int, hop: int,
+               window_np: np.ndarray) -> jnp.ndarray:
+    """Exact replication of the reference trainer's Istft (df/loss.py:66-92):
+    pad one extra frame, `torch.istft(normalized=True, center=True)` with the
+    vorbis analysis window.
+
+    This is NOT the DSP-exact inverse (`ops.istft`): torch's normalized
+    istft multiplies frames by sqrt(n_fft) and divides by the window-square
+    envelope, so applied to our forward-normalized analysis spectra it
+    reconstructs `c * x` with `c = sqrt(n_fft) * wnorm ~= 0.0323` at the
+    default 960/480 config. The reference computes ALL time-domain losses
+    (MultiResSpecLoss, SdrLoss) on these scaled signals, which changes the
+    effective magnitude-loss weight by `c**(2*gamma)` (~62x at gamma=0.6).
+    Matching it bit-for-bit is required for config-compatible training
+    (verified vs torch.istft in tests/test_loss_parity.py).
+
+    spec: [..., T, F] complex -> [..., hop*T] float.
+    """
+    t = spec.shape[-2]
+    w = jnp.asarray(window_np)
+    frames = jnp.fft.irfft(spec, n=n_fft, axis=-1) * math.sqrt(n_fft) * w
+    n_frames_env = t + 1  # the zero-pad frame still contributes window envelope
+    length = n_fft + hop * (n_frames_env - 1)
+    idx = np.arange(t)[:, None] * hop + np.arange(n_fft)[None, :]
+    y = jnp.zeros(spec.shape[:-2] + (length,), frames.dtype)
+    y = y.at[..., idx.reshape(-1)].add(frames.reshape(*frames.shape[:-2], -1))
+    env = np.zeros(length, np.float64)
+    w2 = np.asarray(window_np, np.float64) ** 2
+    for fi in range(n_frames_env):
+        env[fi * hop: fi * hop + n_fft] += w2
+    y = y / jnp.asarray(env.astype(np.float32))
+    return y[..., n_fft // 2: n_fft // 2 + hop * t]
+
+
 # ---------------------------------------------------------------------------
 # individual losses
 # ---------------------------------------------------------------------------
@@ -188,7 +222,8 @@ def mask_loss(
     return loss
 
 
-def si_sdr(enhanced: jnp.ndarray, target: jnp.ndarray, eps: float = 1.19e-7) -> jnp.ndarray:
+def si_sdr(enhanced: jnp.ndarray, target: jnp.ndarray,
+           eps: float = float(np.finfo(np.float32).eps)) -> jnp.ndarray:
     """Scale-invariant SDR per sample [B, T] -> [B] in dB (df/loss.py:345-373)."""
     rss = jnp.sum(target * target, axis=-1, keepdims=True)
     a = (jnp.sum(target * enhanced, axis=-1, keepdims=True) + eps) / (rss + eps)
@@ -302,6 +337,14 @@ class Loss:
             int(v) for v in c("segmental_ws", (), Csv(int), section="SdrLoss")
         )
         self.lsnr_f = c("factor", 0.0005, float, section="LocalSnrLoss")
+        # Time-domain reconstruction for MRSL/SDR losses. "torch" (default)
+        # replicates the reference trainer's normalized torch.istft — the
+        # signals feeding the TD losses are scaled by sqrt(n_fft)*wnorm
+        # (see loss_istft) — so config factors mean the same thing as in
+        # df/train.py. "exact" uses the DSP-exact inverse (true amplitude;
+        # the pre-r05 behavior).
+        self.td_istft = c("TD_LOSS_ISTFT", "torch", str, section="train")
+        assert self.td_istft in ("torch", "exact"), self.td_istft
         asrl_f = c("factor", 0.0, float, section="ASRLoss")
         self.asr_loss = None
         if asrl_f > 0 or asr_model is not None:
@@ -364,8 +407,15 @@ class Loss:
             )
         need_td = self.mrsl_f > 0 or self.sdrl_f != 0 or self.asr_loss is not None
         if need_td:
-            enhanced_td = istft(enhanced, p)
-            clean_td = istft(clean, p)
+            if self.td_istft == "torch":
+                from deepfilternet_tpu.ops.stft import vorbis_window
+
+                win = vorbis_window(p.fft_size)
+                enhanced_td = loss_istft(enhanced, p.fft_size, p.hop_size, win)
+                clean_td = loss_istft(clean, p.fft_size, p.hop_size, win)
+            else:
+                enhanced_td = istft(enhanced, p)
+                clean_td = istft(clean, p)
         if self.mrsl_f > 0:
             losses["mrsl"] = multi_res_spec_loss(
                 enhanced_td, clean_td, self.mrsl_ffts, gamma=self.mrsl_gamma,
