@@ -62,6 +62,11 @@ def main(model_dir: str, budget_s: float = 600.0, lr: float = 3e-4) -> None:
     params, state, cfg, module = init_model()
     _, _, mp_cls = model_module()
     p = mp_cls()
+    # MASK_ONLY / DF_ONLY training modes (df/train.py:123-130, 486-494)
+    mask_only = config("MASK_ONLY", False, bool, section="train")
+    df_only = config("DF_ONLY", False, bool, section="train")
+    if mask_only:
+        cfg = dict(cfg, run_df=False)
 
     # data-recipe knobs (see pretrained/README.md): the fixture corpus is
     # tiny, so generalization to the golden asset is driven by mix
@@ -87,7 +92,10 @@ def main(model_dir: str, budget_s: float = 600.0, lr: float = 3e-4) -> None:
         (p.lsnr_min, p.lsnr_max),
     )
     opt = make_optimizer()
-    step = jax.jit(make_train_step(module, cfg, loss_obj, opt))
+    from deepfilternet_tpu.train.trainer import trainable_filter
+
+    step = jax.jit(make_train_step(module, cfg, loss_obj, opt,
+                                   trainable=trainable_filter(mask_only, df_only)))
     ts = init_train_state(params, state, opt)
 
     ckpt_dir = os.path.join(model_dir, "checkpoints")
@@ -138,10 +146,14 @@ def main(model_dir: str, budget_s: float = 600.0, lr: float = 3e-4) -> None:
     # spectral arrays, ~100 frames/s — NOT samples) across rounds so the
     # persistent compilation cache (JAX_COMPILATION_CACHE_DIR) hits
     pad_frames = int(os.environ.get("DEMO_PAD_FRAMES", "0"))
-    if pad_frames > 10 * tmax:
+    if pad_frames > 10 * tmax and not os.environ.get("DEMO_PAD_FRAMES_FORCE"):
+        # loud heuristic guard: a sample count passed here pads ~GB per
+        # batch. Legitimate large pinned pads (small debug pools) can set
+        # DEMO_PAD_FRAMES_FORCE=1 to proceed.
         raise SystemExit(
             f"DEMO_PAD_FRAMES={pad_frames} is frames (got tmax={tmax}); "
-            "passing a sample count here pads ~GB per batch")
+            "passing a sample count here pads ~GB per batch "
+            "(set DEMO_PAD_FRAMES_FORCE=1 to override)")
     if pad_frames:
         assert pad_frames >= tmax, (pad_frames, tmax)
         tmax = pad_frames

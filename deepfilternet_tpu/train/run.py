@@ -160,6 +160,14 @@ def train(
         pass  # not on main thread (tests)
 
     params, model_state, cfg, module = init_model(model_name, seed=seed)
+    # MASK_ONLY trains the model with the DF stage disabled (reference
+    # df/train.py:123-130 constructs run_df=False and excludes the DF
+    # decoder from the optimizer, df/train.py:486-494); DF_ONLY is the
+    # converse fine-tune mode.
+    mask_only = config("MASK_ONLY", False, bool, section="train")
+    df_only = config("DF_ONLY", False, bool, section="train")
+    if mask_only:
+        cfg = dict(cfg, run_df=False)
     p_mod = module.ModelParams3() if hasattr(module, "ModelParams3") else None
     sr = config("SR", 48000, int, section="DF")
     fft_size = config("FFT_SIZE", 960, int, section="DF")
@@ -184,7 +192,12 @@ def train(
 
     opt_cfg = load_opt_config()
     optimizer = make_optimizer(opt_cfg)
-    step_fn = jax.jit(make_train_step(module, cfg, loss_obj, optimizer))
+    from deepfilternet_tpu.train.trainer import trainable_filter
+
+    step_fn = jax.jit(make_train_step(
+        module, cfg, loss_obj, optimizer,
+        trainable=trainable_filter(mask_only, df_only),
+    ))
 
     # resume
     start_epoch = 0

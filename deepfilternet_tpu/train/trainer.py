@@ -35,10 +35,20 @@ class TrainState(NamedTuple):
 
 def load_opt_config() -> Dict[str, float]:
     """[optim] section defaults mirroring df/train.py:474-512."""
+    from deepfilternet_tpu.config import Csv
+
+    betas = tuple(
+        float(b) for b in config("OPT_BETAS", (0.9, 0.999), Csv(float),
+                                 section="optim")
+    )
     return dict(
         lr=config("LR", 5e-4, float, section="optim"),
         weight_decay=config("WEIGHT_DECAY", 0.05, float, section="optim"),
         optimizer=config("OPTIMIZER", "adamw", str, section="optim"),
+        betas=betas,
+        # the reference constructs Adam/AdamW with amsgrad=True
+        # (df/train.py:494-496); keep that the default for parity
+        amsgrad=config("AMSGRAD", True, bool, section="optim"),
         lr_min=config("LR_MIN", 1e-6, float, section="optim"),
         lr_warmup=config("LR_WARMUP", 1e-4, float, section="optim"),
         warmup_epochs=config("WARMUP_EPOCHS", 3, int, section="optim"),
@@ -49,18 +59,87 @@ def load_opt_config() -> Dict[str, float]:
     )
 
 
+def scale_by_amsgrad_torch(
+    b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8
+) -> optax.GradientTransformation:
+    """AMSGrad with torch.optim semantics, bit-matching torch's Adam(W)
+    amsgrad=True (torch maxes the RAW second moment and divides the
+    denominator by sqrt(bias_correction2); optax.scale_by_amsgrad maxes the
+    bias-CORRECTED nu_hat, which differs materially in early steps).
+    Verified step-for-step vs torch in tests/test_train_parity.py."""
+
+    def init_fn(params):
+        zeros = lambda: jax.tree.map(jnp.zeros_like, params)  # noqa: E731
+        return optax.ScaleByAmsgradState(
+            count=jnp.zeros([], jnp.int32), mu=zeros(), nu=zeros(),
+            nu_max=zeros(),
+        )
+
+    def update_fn(updates, state, params=None):
+        del params
+        mu = jax.tree.map(lambda g, m: b1 * m + (1 - b1) * g, updates, state.mu)
+        nu = jax.tree.map(lambda g, v: b2 * v + (1 - b2) * g * g, updates, state.nu)
+        nu_max = jax.tree.map(jnp.maximum, state.nu_max, nu)
+        count = state.count + 1
+        bc1 = 1 - b1 ** count.astype(jnp.float32)
+        bc2 = 1 - b2 ** count.astype(jnp.float32)
+        out = jax.tree.map(
+            lambda m, v: (m / bc1) / (jnp.sqrt(v) / jnp.sqrt(bc2) + eps),
+            mu, nu_max,
+        )
+        return out, optax.ScaleByAmsgradState(
+            count=count, mu=mu, nu=nu, nu_max=nu_max
+        )
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def make_optimizer(opt_cfg: Optional[Dict] = None) -> optax.GradientTransformation:
     opt_cfg = opt_cfg or load_opt_config()
     name = opt_cfg.get("optimizer", "adamw")
+    b1, b2 = opt_cfg.get("betas", (0.9, 0.999))
+    amsgrad = opt_cfg.get("amsgrad", True)
     # lr/wd are injected per-step from the cosine schedule arrays, so the
     # transformations are built with placeholder values and wrapped in
     # inject_hyperparams for runtime control.
     if name == "adamw":
-        base = optax.inject_hyperparams(optax.adamw)(
-            learning_rate=opt_cfg["lr"], weight_decay=opt_cfg["weight_decay"]
-        )
+        if amsgrad:
+            # reference: optim.AdamW(..., amsgrad=True) (df/train.py:496)
+
+            def _adamw_ams(learning_rate, weight_decay):
+                return optax.chain(
+                    scale_by_amsgrad_torch(b1, b2),
+                    optax.add_decayed_weights(weight_decay),
+                    optax.scale_by_learning_rate(learning_rate),
+                )
+
+            base = optax.inject_hyperparams(_adamw_ams)(
+                learning_rate=opt_cfg["lr"], weight_decay=opt_cfg["weight_decay"]
+            )
+        else:
+            base = optax.inject_hyperparams(optax.adamw)(
+                learning_rate=opt_cfg["lr"], weight_decay=opt_cfg["weight_decay"],
+                b1=b1, b2=b2,
+            )
     elif name == "adam":
-        base = optax.inject_hyperparams(optax.adam)(learning_rate=opt_cfg["lr"])
+        # reference: optim.Adam(..., weight_decay=decay, amsgrad=True) —
+        # COUPLED L2 (decay added to the gradient before the moment update)
+        if amsgrad:
+
+            def _adam_ams(learning_rate, weight_decay):
+                return optax.chain(
+                    optax.add_decayed_weights(weight_decay),
+                    scale_by_amsgrad_torch(b1, b2),
+                    optax.scale_by_learning_rate(learning_rate),
+                )
+
+            base = optax.inject_hyperparams(_adam_ams)(
+                learning_rate=opt_cfg["lr"], weight_decay=opt_cfg["weight_decay"]
+            )
+        else:
+            base = optax.inject_hyperparams(optax.adam)(
+                learning_rate=opt_cfg["lr"], b1=b1, b2=b2
+            )
     elif name == "sgd":
         base = optax.inject_hyperparams(
             lambda learning_rate: optax.chain(
@@ -87,13 +166,35 @@ def _set_lr(opt_state, lr, wd=None):
     return (opt_state[0], inner._replace(hyperparams=hp))
 
 
+# DF-decoder top-level param keys across model families; frozen under
+# MASK_ONLY like the reference's optimizer param filter (df/train.py:490-494
+# excludes "dfrnn"/"df_dec"-named params — the encoder-side df_conv0/1 and
+# df_fc_emb live under "enc." there and stay trainable, as here).
+DF_DECODER_KEYS = ("df_gru", "df_skip", "df_convp", "df_out", "df_fc_a")
+
+
+def trainable_filter(mask_only: bool = False, df_only: bool = False):
+    """Top-level param-key predicate mirroring df/train.py:486-494."""
+    if mask_only:
+        return lambda k: k not in DF_DECODER_KEYS
+    if df_only:
+        return lambda k: "df" in k.lower()
+    return None
+
+
 def make_train_step(
     module,
     cfg: Dict,
     loss_obj: Loss,
     optimizer: optax.GradientTransformation,
+    trainable: Optional[Callable[[str], bool]] = None,
 ) -> Callable:
-    """Build the jittable training step for an offline-forward model module."""
+    """Build the jittable training step for an offline-forward model module.
+
+    `trainable`: optional predicate over top-level param-tree keys; keys
+    for which it returns False are fully frozen (no gradient update, no
+    weight decay) — the analog of the reference's optimizer param
+    filtering for MASK_ONLY / DF_ONLY training (df/train.py:486-494)."""
 
     # DFN1/DFN2 forwards return df_alpha as the 4th output (consumed by
     # DfAlphaLoss, df/loss.py:297-342); DFN3's 4th output is df_coefs
@@ -123,6 +224,11 @@ def make_train_step(
             finite = finite & jnp.all(jnp.isfinite(g))
         updates, new_opt_state = optimizer.update(grads, opt_state, ts.params)
         new_params = optax.apply_updates(ts.params, updates)
+        if trainable is not None:
+            new_params = {
+                k: (v if trainable(k) else ts.params[k])
+                for k, v in new_params.items()
+            }
 
         def keep_new(new, old):
             return jax.tree.map(lambda n, o: jnp.where(finite, n, o), new, old)

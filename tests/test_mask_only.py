@@ -119,3 +119,63 @@ class TestMaskOnlyCli:
 
         with pytest.raises(SystemExit):
             main(["-o", "/tmp"])
+
+
+class TestMaskOnlyTraining:
+    def test_mask_only_freezes_df_decoder(self, rng):
+        """MASK_ONLY training: model built with run_df=False and the DF
+        decoder params frozen, mirroring reference df/train.py:123-130
+        (run_df=False model) + 486-494 (optimizer param filter)."""
+        import jax
+        import jax.numpy as jnp
+
+        from deepfilternet_tpu.config import config
+        from deepfilternet_tpu.models import dfnet3
+        from deepfilternet_tpu.ops import Stft, erb_widths
+        from deepfilternet_tpu.train.loss import Loss
+        from deepfilternet_tpu.train.trainer import (
+            DF_DECODER_KEYS,
+            init_train_state,
+            make_optimizer,
+            make_train_step,
+            trainable_filter,
+        )
+
+        config.reset()
+        config.set("factor_magnitude", "100", section="SpectralLoss")
+        params, state, cfg = dfnet3.init_dfnet3(jax.random.PRNGKey(0))
+        cfg = dict(cfg, run_df=False)
+        loss_obj = Loss(Stft(48000, 960, 480), erb_widths(48000, 960, 32, 2),
+                        cfg["nb_df"], (-15, 35))
+        optimizer = make_optimizer()
+        step = jax.jit(make_train_step(
+            dfnet3, cfg, loss_obj, optimizer,
+            trainable=trainable_filter(mask_only=True)))
+        ts = init_train_state(params, state, optimizer)
+        b, t = 1, 12
+        batch = {
+            "noisy": jnp.asarray(
+                rng.standard_normal((b, t, 481, 2)).astype(np.float32) * 0.1),
+            "clean": jnp.asarray(
+                rng.standard_normal((b, t, 481, 2)).astype(np.float32) * 0.05),
+            "feat_erb": jnp.asarray(
+                rng.standard_normal((b, t, 32)).astype(np.float32)),
+            "feat_spec": jnp.asarray(
+                rng.standard_normal((b, t, 96, 2)).astype(np.float32)),
+        }
+        ts2, metrics = step(ts, batch, jnp.asarray(1e-3), jnp.asarray(0.05))
+        assert bool(metrics["finite"])
+        frozen = [k for k in params if k in DF_DECODER_KEYS]
+        assert frozen, sorted(params)
+        for k in frozen:
+            np.testing.assert_array_equal(
+                np.asarray(jax.tree.leaves(ts.params[k])[0]),
+                np.asarray(jax.tree.leaves(ts2.params[k])[0]),
+                err_msg=f"{k} should be frozen")
+        # an encoder param must have moved
+        moved = np.abs(
+            np.asarray(jax.tree.leaves(ts2.params["lsnr_fc"])[0])
+            - np.asarray(jax.tree.leaves(ts.params["lsnr_fc"])[0])
+        ).max()
+        assert moved > 0
+        config.reset()
