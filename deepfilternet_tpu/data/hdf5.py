@@ -89,7 +89,9 @@ class Hdf5Dataset:
         ds = self.file[group][key]
         if self.codec == "pcm":
             return ds.shape[-1]
-        return int(ds.attrs.get("n_samples", [0])[0])
+        # n_samples may be a scalar (reference fix_n_samples writes ints)
+        # or a length-1 array (our writers)
+        return int(np.atleast_1d(ds.attrs.get("n_samples", 0))[0])
 
     def read(self, group: str, key: str, max_len: Optional[int] = None,
              rng: Optional[np.random.Generator] = None) -> np.ndarray:

@@ -239,6 +239,7 @@ def enhance(
     pad: bool = True,
     atten_lim_db: Optional[float] = None,
     backend: str = "offline",
+    mesh=None,
 ) -> np.ndarray:
     """Enhance [C, T] float32 audio; returns the same shape when pad=True.
 
@@ -255,6 +256,10 @@ def enhance(
         batches, where the offline conv activations [B,C,T,F] spill to HBM
         while the scan's working set stays fused.
       * "auto": "scan" for batches >= 16 rows, else "offline".
+
+    mesh: optional jax.sharding.Mesh — batch rows shard over the mesh's
+    "data" axis for the scan backend (weights replicated, zero cross-chip
+    traffic on the hot path); requires rows % mesh size == 0.
     """
     audio = np.atleast_2d(np.asarray(audio, np.float32))
     orig_len = audio.shape[-1]
@@ -270,10 +275,24 @@ def enhance(
     if backend == "auto":
         backend = "scan" if audio.shape[0] >= 16 else "offline"
     if backend == "scan":
-        rt = _get_scan_runtime(model, df_state, lim)
+        rt = _get_scan_runtime(model, df_state, mesh=mesh)
         carry = rt.init(audio.shape[0])
         _, out = rt.process(carry, jnp.asarray(audio))
         out = np.asarray(out)
+        if lim > 0:
+            # attenuation-limit mixback (tract.rs:626-629) applied in the
+            # time domain: the runtime's spectral mix lim*spec +
+            # (1-lim)*spec_e commutes with the (linear) synthesis, and
+            # istft(spec) is the input delayed by d = n_fft - hop
+            # (perfect-reconstruction window). Doing it here keeps ONE
+            # compiled scan runtime for every atten_lim value instead of
+            # a per-value recompile. The first d samples (where the
+            # zero-initialized overlap makes the identity partial) are
+            # exactly the region trimmed below.
+            d = n_fft - hop
+            delayed = np.zeros_like(out)
+            delayed[:, d:] = audio[:, : out.shape[1] - d]
+            out = lim * delayed + (1.0 - lim) * out
     elif backend == "offline":
         run = _get_pipeline_jit(model, df_state)
         out = np.asarray(
@@ -288,15 +307,28 @@ def enhance(
     return out
 
 
-def _get_scan_runtime(model: DfModel, df_state: DfState, lim: float):
+def _get_scan_runtime(model: DfModel, df_state: DfState, lim: float = 0.0,
+                      mesh=None):
+    """One cached scan runtime per model (per mesh); atten_lim is applied
+    by the caller as a time-domain mixback (see enhance()), so `lim` no
+    longer keys the cache (a per-value jit recompile)."""
     from deepfilternet_tpu.streaming import RuntimeParams, StreamingRuntime
 
-    key = ("scan_runtime", lim)
+    assert lim == 0.0, "atten_lim is applied outside the runtime now"
+    key = "scan_runtime" if mesh is None else ("scan_runtime", id(mesh))
     if key not in model._jit_cache:
-        atten = -20.0 * np.log10(lim) if lim > 0 else 0.0
-        model._jit_cache[key] = StreamingRuntime(
-            model, df_state, RuntimeParams(atten_lim_db=atten), fuse_ops=True
-        )
+        if mesh is None:
+            model._jit_cache[key] = StreamingRuntime(
+                model, df_state, RuntimeParams(), fuse_ops=True
+            )
+        else:
+            from deepfilternet_tpu.parallel.streams import (
+                ShardedStreamingRuntime,
+            )
+
+            model._jit_cache[key] = ShardedStreamingRuntime(
+                model, df_state, mesh=mesh, fuse_ops=True
+            )
     return model._jit_cache[key]
 
 

@@ -6,6 +6,8 @@ Subcommands:
     sample  decode one key (or a random one) to a wav for listening
     split   split a dataset's keys into train/valid/test HDF5 files
     trim    copy a dataset keeping only keys shorter than a max length
+    fix     repair sr/max_freq/n_samples/n_channels attrs in place
+            (reference: df/scripts/fix_n_samples_hdf5.py)
 
 Usage:
     python -m deepfilternet_tpu.scripts.hdf5_tool list file.hdf5
@@ -89,13 +91,53 @@ def cmd_trim(args):
             grp = dst.require_group(g)
             for k in src[g]:
                 ds = src[g][k]
-                n = int(ds.attrs.get("n_samples", [ds.shape[-1]])[0])
+                n = int(np.atleast_1d(ds.attrs.get("n_samples",
+                                                   ds.shape[-1]))[0])
                 if n <= max_len:
                     src.copy(ds, grp, name=k)
                     kept += 1
                 else:
                     dropped += 1
         print(f"kept {kept}, dropped {dropped} (> {args.max_len_s}s)")
+
+
+def cmd_fix(args):
+    """Repair dataset attrs in place (reference: df/scripts/
+    fix_n_samples_hdf5.py): ensure file-level sr/max_freq exist, decode
+    every entry and rewrite its n_samples/n_channels attrs from the
+    actual audio shape, and drop the legacy n_ch attr."""
+    from deepfilternet_tpu.data.hdf5 import Hdf5Dataset
+
+    ds = Hdf5Dataset(args.file)  # picks up sr/max_freq/codec defaults
+    sr, max_freq, codec = ds.sr, ds.max_freq, ds.codec
+    ds.close()
+    if args.sr:
+        sr = args.sr
+    if args.max_freq:
+        max_freq = args.max_freq
+    fixed = 0
+    with h5py.File(args.file, "r+") as h5f:
+        h5f.attrs["sr"] = sr
+        h5f.attrs["max_freq"] = max_freq
+        reader = Hdf5Dataset(args.file)
+        try:
+            for g in h5f:
+                for k, d in h5f[g].items():
+                    audio = reader.read(g, k)  # [C, T] float
+                    n_samples = int(audio.shape[-1])
+                    n_channels = int(audio.shape[0]) if audio.ndim == 2 else 1
+                    assert n_channels <= 16, (k, audio.shape)
+                    old = d.attrs.get("n_samples", None)
+                    if old is not None and int(np.atleast_1d(old)[0]) != n_samples:
+                        print(f"  {g}/{k}: n_samples {old} -> {n_samples}")
+                        fixed += 1
+                    d.attrs["n_samples"] = n_samples
+                    d.attrs["n_channels"] = n_channels
+                    if "n_ch" in d.attrs:
+                        del d.attrs["n_ch"]
+        finally:
+            reader.close()
+    print(f"fixed {fixed} entries (sr={sr} max_freq={max_freq} codec={codec})")
 
 
 def main(argv=None):
@@ -119,9 +161,13 @@ def main(argv=None):
     p.add_argument("file")
     p.add_argument("out")
     p.add_argument("--max-len-s", type=float, required=True)
+    p = sub.add_parser("fix")
+    p.add_argument("file")
+    p.add_argument("--sr", type=int, default=None)
+    p.add_argument("--max-freq", type=int, default=None)
     args = parser.parse_args(argv)
     {"list": cmd_list, "sample": cmd_sample, "split": cmd_split,
-     "trim": cmd_trim}[args.cmd](args)
+     "trim": cmd_trim, "fix": cmd_fix}[args.cmd](args)
 
 
 if __name__ == "__main__":

@@ -62,8 +62,10 @@ def _dump_nan_batch(base_dir, batch, epoch, bi, sr):
 
 def _write_audio_summaries(base_dir, loader, eval_fn, ts, stft_cfg, epoch, sr,
                            n_samples: int = 2):
-    """Periodic wav summaries of (noisy, clean, enhanced) via synthesis
-    (train.py:556-593 analog)."""
+    """Periodic epoch summaries on a validation batch (train.py:556-593
+    analog): (noisy, clean, enhanced) wavs via synthesis, the per-frame
+    LSNR prediction as txt, and spectrogram figures for each signal
+    (visualization.py:8-128; reference plots these in plot_summaries)."""
     import jax.numpy as jnp
 
     from deepfilternet_tpu.ops import istft
@@ -76,13 +78,33 @@ def _write_audio_summaries(base_dir, loader, eval_fn, ts, stft_cfg, epoch, sr,
         return
     os.makedirs(out_dir, exist_ok=True)
     arrays = {k: jnp.asarray(v) for k, v in batch_to_arrays(batch).items()}
-    spec_e, _, _, _ = eval_fn(ts.params, ts.model_state, arrays)
+    spec_e, _, lsnr, _ = eval_fn(ts.params, ts.model_state, arrays)
     enh = istft(spec_e[..., 0] + 1j * spec_e[..., 1], stft_cfg)
+    lsnr = np.asarray(lsnr)
+    try:
+        from deepfilternet_tpu.utils.visualization import spec_figure
+    except Exception:  # pragma: no cover - matplotlib absent
+        spec_figure = None
     for i in range(min(n_samples, batch.noisy.shape[0])):
-        save_audio(os.path.join(out_dir, f"{i}_noisy.wav"), batch.noisy[i], sr)
-        save_audio(os.path.join(out_dir, f"{i}_clean.wav"), batch.speech[i], sr)
-        save_audio(os.path.join(out_dir, f"{i}_enh.wav"),
+        snr = int(batch.snr[i])
+        save_audio(os.path.join(out_dir, f"{i}_noisy_snr{snr}.wav"),
+                   batch.noisy[i], sr)
+        save_audio(os.path.join(out_dir, f"{i}_clean_snr{snr}.wav"),
+                   batch.speech[i], sr)
+        save_audio(os.path.join(out_dir, f"{i}_enh_snr{snr}.wav"),
                    np.asarray(enh[i]), sr)
+        np.savetxt(os.path.join(out_dir, f"{i}_lsnr_snr{snr}.txt"),
+                   lsnr[i].reshape(-1), fmt="%.3f")
+        if spec_figure is not None:
+            hop = stft_cfg.hop_size
+            for name, spec in (
+                ("noisy", np.asarray(arrays["noisy"][i])),
+                ("clean", np.asarray(arrays["clean"][i])),
+                ("enh", np.asarray(spec_e[i])),
+            ):
+                c = spec[..., 0] + 1j * spec[..., 1]  # [T, F]
+                spec_figure(c, sr=sr, hop=hop, title=f"{name} (snr {snr} dB)",
+                            path=os.path.join(out_dir, f"{i}_{name}_spec.png"))
 
 
 def _sigusr1(signum, frame):  # pragma: no cover - signal path

@@ -271,3 +271,32 @@ class TestHdf5Tool:
         tool(["trim", src, out, "--max-len-s", "10"])
         f = h5py.File(out)
         assert len(f["noise"]) == 1  # only the 4.9s clip survives
+
+    def test_fix_repairs_attrs(self, tmp_path, capsys):
+        """`fix` decodes entries and rewrites n_samples/n_channels/sr
+        attrs in place (reference df/scripts/fix_n_samples_hdf5.py)."""
+        import shutil
+
+        import h5py
+
+        from deepfilternet_tpu.scripts.hdf5_tool import main as tool
+
+        path = str(tmp_path / "broken.hdf5")
+        shutil.copy("/root/reference/assets/noise_flac.hdf5", path)
+        # corrupt: wrong n_samples, legacy n_ch, missing max_freq
+        with h5py.File(path, "r+") as f:
+            keys = list(f["noise"])
+            f["noise"][keys[0]].attrs["n_samples"] = 1
+            f["noise"][keys[1]].attrs["n_ch"] = 1
+            del f["noise"][keys[1]].attrs["n_samples"]
+            if "max_freq" in f.attrs:
+                del f.attrs["max_freq"]
+        tool(["fix", path])
+        assert "n_samples 1 ->" in capsys.readouterr().out
+        with h5py.File(path) as f:
+            assert int(f.attrs["max_freq"]) == int(f.attrs["sr"]) // 2
+            for k in keys:
+                d = f["noise"][k]
+                assert int(d.attrs["n_samples"]) >= 48000
+                assert "n_ch" not in d.attrs
+                assert int(d.attrs["n_channels"]) >= 1

@@ -326,3 +326,13 @@ class TestEndToEnd:
         assert np.isfinite(test_loss)
         assert os.path.isdir(os.path.join(base, "checkpoints"))
         assert any(f.startswith("model_") for f in os.listdir(os.path.join(base, "checkpoints")))
+        # epoch summaries: wavs + lsnr txt + spectrogram figures
+        # (train.py:556-593 + visualization.py analog)
+        summ = os.path.join(base, "summaries", "epoch_0")
+        assert os.path.isdir(summ)
+        names = os.listdir(summ)
+        for kind in ("noisy", "clean", "enh"):
+            assert any(n.startswith(f"0_{kind}_snr") and n.endswith(".wav")
+                       for n in names), (kind, names)
+            assert f"0_{kind}_spec.png" in names, names
+        assert any(n.startswith("0_lsnr_snr") for n in names), names
