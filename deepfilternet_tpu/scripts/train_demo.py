@@ -78,7 +78,17 @@ def main(model_dir: str, budget_s: float = 600.0, lr: float = 3e-4) -> None:
     )
     batch_size = int(os.environ.get("DEMO_BATCH", "8"))
     cfgs = [Hdf5Cfg("clean.hdf5", 16), Hdf5Cfg("noise_flac.hdf5", 1)]
-    td = TdDataset("/root/reference/assets", cfgs, "train",
+    # DEMO_EXTRA_CLEAN="fname:factor" appends another speech pool (e.g. a
+    # VTLP pseudo-speaker pool from scripts/make_vtlp_pool.py — the
+    # curriculum data-ceiling experiment, VERDICT r05 #5); DEMO_ASSETS
+    # overrides the data dir (symlink the reference assets next to the
+    # generated pool).
+    extra_clean = os.environ.get("DEMO_EXTRA_CLEAN")
+    if extra_clean:
+        fn, fac = extra_clean.rsplit(":", 1)
+        cfgs.insert(1, Hdf5Cfg(fn, float(fac)))
+    assets_dir = os.environ.get("DEMO_ASSETS", "/root/reference/assets")
+    td = TdDataset(assets_dir, cfgs, "train",
                    max_len_s=max_len_s, snrs=snrs, seed=1,
                    p_reverb=float(os.environ.get("DEMO_P_REVERB", "0")),
                    p_interfer_sp=float(os.environ.get("DEMO_P_INTERFER", "0")))
