@@ -17,6 +17,14 @@ each candidate cost driver separately:
               (b) + host fetch of the output (np.asarray), and the serve
               tick's extra `_select_active` program
 
+FINDING (r05): the dominant cost driver is a process-level TRANSPORT
+STATE, not size/buffers/ops. Until the first device->host fetch, synced
+dispatches cost ~0.03 ms at any size up to >=1 MB (E2b); after ONE
+np.asarray of any size, every synced round trip costs ~28 ms, permanently
+(so E2's with_fetch rows, and everything after them — E3, E4 — sit at
+~28 ms+). Real inference must fetch results, so ~28 ms/sync is the honest
+per-tick transport cost in this environment.
+
 Writes bench_dispatch.json at the repo root. Run ON THE CHIP.
 """
 
@@ -73,6 +81,26 @@ def main():
         res[str(k)] = timed(lambda: jax.block_until_ready(f(*xs)))
         print(f"buffers k={k}: {res[str(k)]}", flush=True)
     out["buffers"] = res
+
+    # -- E2b: transport-state sweep (VERDICT r04 #4) -------------------------
+    # The r04 "inline fast path" is NOT a payload-size threshold. Synced
+    # device-only dispatches cost ~0.03 ms at ANY size 4 KB..1 MB while the
+    # process has never fetched a result to the host; the FIRST
+    # device->host fetch (np.asarray, any size — see E2 below, which runs
+    # after this and flips the state) degrades every later synced dispatch
+    # to ~28 ms, permanently. This sweep runs FIRST so it records the
+    # pre-fetch state across sizes; re-run any single E after a fetch to
+    # see the ~28 ms state (bench_serve.py records both states directly).
+    res = {}
+    for nbytes in (4 << 10, 16 << 10, 64 << 10, 128 << 10, 256 << 10,
+                   512 << 10, 1 << 20):
+        n = nbytes // 4
+        x = jnp.zeros((n,), jnp.float32)
+        f = jax.jit(lambda v: v + 1.0)
+        jax.block_until_ready(f(x))
+        res[str(nbytes)] = timed(lambda: jax.block_until_ready(f(x)), n=20)
+        print(f"prefetch-state bytes={nbytes}: {res[str(nbytes)]}", flush=True)
+    out["fastpath_threshold"] = res
 
     # -- E2: payload-size sweep, device-resident vs host fetch --------------
     res = {}

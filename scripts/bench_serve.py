@@ -16,10 +16,11 @@ per 10 ms), runs for --seconds, and reports two separate verdicts:
     deployment (chip on the host's PCIe/ICI, like the reference's
     laptop-CPU runtime) would pay per 10 ms tick.
 
-Also records tunnel_rtt_ms (a >4 KB-payload synced dispatch — the true
-per-round-trip floor; the old sub-4 KB probe rode an async inline fast
-path and read 0.06 ms) and the achieved batching factor (client frames
-per TPU dispatch). Writes bench_serve.json at the repo root.
+Also records the transport's TWO states (the r04 "fast path" was not a
+size threshold: synced dispatches cost ~0.03 ms until the process's
+FIRST device->host fetch, ~28 ms ever after — see PERF.md "Dispatch
+anatomy") and the achieved batching factor (client frames per TPU
+dispatch). Writes bench_serve.json at the repo root.
 
 Usage: python scripts/bench_serve.py [--sweep 16,64,128,256] [--seconds 5]
 """
@@ -102,6 +103,42 @@ def run_clients(port, n_clients, seconds, rng, srv=None):
     return r
 
 
+def _probe_transport_states():
+    """Measure BOTH transport states explicitly (PERF.md "Dispatch
+    anatomy", r05 finding): synced device-only dispatches are ~0.03 ms
+    until the process's FIRST device->host fetch; ONE np.asarray of any
+    size flips every later synced round trip to ~28 ms, permanently.
+
+    Must run at the very top of the process — the clean state exists only
+    before anything fetches (even a compile-heavy phase can flip it)."""
+    import jax
+    import jax.numpy as jnp
+
+    f = jax.jit(lambda v: v + 1.0)
+    x = jnp.zeros((1024,), jnp.float32)  # 4 KB output
+    jax.block_until_ready(f(x))  # compile (no host fetch)
+
+    def timed(n=20):
+        ts = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            jax.block_until_ready(f(x))
+            ts.append(time.perf_counter() - t0)
+        return round(float(np.percentile(np.array(ts) * 1e3, 50)), 2)
+
+    pre_ms = timed()
+    # the state flip: one 4 KB device->host fetch
+    t0 = time.perf_counter()
+    np.asarray(f(x))
+    fetch_ms = round((time.perf_counter() - t0) * 1e3, 2)
+    post_ms = timed()
+    print(f"transport states: pre-fetch synced dispatch {pre_ms} ms | "
+          f"first 4 KB fetch {fetch_ms} ms | post-fetch {post_ms} ms",
+          flush=True)
+    return {"pre_fetch_ms_p50": pre_ms, "first_fetch_4kb_ms": fetch_ms,
+            "post_fetch_ms_p50": post_ms}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sweep", default="16,64,128,256")
@@ -131,22 +168,17 @@ def main():
 
     print(f"device: {jax.devices()[0]}", flush=True)
 
-    # True transport round-trip floor: a synced dispatch whose output is
-    # too big for the relay's inline fast path (>4 KB). Compare
-    # bench_dispatch.json: sub-4 KB outputs return async and read ~0.06 ms,
-    # which is NOT the cost a per-tick host sync pays.
-    import jax.numpy as jnp
-    x1 = jnp.zeros((4096,), jnp.float32)
-    f1 = jax.jit(lambda v: v + 1.0)
-    jax.block_until_ready(f1(x1))
-    rtts = []
-    for _ in range(20):
-        t0 = time.perf_counter()
-        jax.block_until_ready(f1(x1))
-        rtts.append(time.perf_counter() - t0)
-    tunnel_rtt_ms = round(float(np.percentile(np.array(rtts) * 1e3, 50)), 2)
-    print(f"tunnel RTT (synced 16 KB dispatch) p50: {tunnel_rtt_ms} ms", flush=True)
+    # Transport probe at the VERY top: the clean (pre-first-fetch) state
+    # exists only at process start — a 2026-08 re-run showed the state
+    # also flips somewhere inside the long compile-heavy capacity phase
+    # even without an explicit fetch, so probing after it reads ~28 ms
+    # for "pre" too. Probe first, then sweep.
+    probe = _probe_transport_states()
 
+    # Capacity sweep next: measure_chip_tick chains dispatches with one
+    # final sync, so it is nearly state-independent (the r04 N=16
+    # "2.56 ms anomaly" was state contamination — fresh-process ticks
+    # read 0.8-0.9 ms at N=16 AND N=64, probe r05).
     capacity = {}
     for n in [int(x) for x in args.capacity.split(",") if x]:
         model, df_state, _ = init_df(args.model)
@@ -189,7 +221,9 @@ def main():
         except Exception:
             prev = {}
     payload = {"device": str(jax.devices()[0]),
-               "tunnel_rtt_ms_p50": tunnel_rtt_ms,
+               "tunnel_rtt_ms_p50": probe["post_fetch_ms_p50"],
+               "tunnel_rtt_prefetch_state_ms_p50": probe["pre_fetch_ms_p50"],
+               "fetch_rtt_4kb_ms_p50": probe["first_fetch_4kb_ms"],
                "results": results or prev.get("results", {}),
                "capacity": capacity or prev.get("capacity", {})}
     with open(out, "w") as f:
