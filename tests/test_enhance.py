@@ -161,9 +161,9 @@ class TestPretrainedDemo:
     """Golden-metric regression on the committed fixture-trained models
     (the test_df.py analog with our own goldens; the reference's released
     DFN3 golden STOI on this asset is 0.97424, trained on a real corpus —
-    the demos train on the reference repo's 18-clip test fixture and reach
-    STOI ~0.95 / SI-SDR ~+13.5 dB / PESQ ~3.4 with the torch-parity-exact
-    architecture, round-2 numbers)."""
+    the demos train on the reference repo's 18-clip test fixture; the
+    r05 DFN3 checkpoint reaches STOI 0.9701 / SI-SDR 16.48 dB via the
+    augmented->clean curriculum, see pretrained/README.md)."""
 
     DEMOS = ["/root/repo/pretrained/dfn3_fixture_demo",
              "/root/repo/pretrained/dfn2_fixture_demo",
@@ -189,8 +189,14 @@ class TestPretrainedDemo:
         import json
 
         golden = json.load(open(os.path.join(demo, "golden_metrics.json")))
-        assert golden["stoi"] > 0.94
-        assert golden["sisdr"] > 12.5
+        # dfn3 gate raised r05 (augmented->clean curriculum checkpoint:
+        # STOI 0.9701 / SI-SDR 16.48); dfn1/dfn2 demos keep the r02 floor
+        if demo.endswith("dfn3_fixture_demo"):
+            assert golden["stoi"] > 0.96
+            assert golden["sisdr"] > 15.0
+        else:
+            assert golden["stoi"] > 0.94
+            assert golden["sisdr"] > 12.5
         # local from-spec PESQ scale (eval/pesq.py multi-family
         # recalibration lowered all values vs the r2 white-noise-only
         # anchor); this floors gross regressions, it is not ITU MOS
