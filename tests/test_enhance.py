@@ -161,7 +161,7 @@ class TestPretrainedDemo:
     """Golden-metric regression on the committed fixture-trained models
     (the test_df.py analog with our own goldens; the reference's released
     DFN3 golden STOI on this asset is 0.97424, trained on a real corpus —
-    the demos train on the reference repo's 18-clip test fixture; the
+    the demos train on the reference repo's test fixture (one 10.6 s speech clip, two noise clips); the
     r05 DFN3 checkpoint reaches STOI 0.9701 / SI-SDR 16.48 dB via the
     augmented->clean curriculum, see pretrained/README.md)."""
 
