@@ -122,8 +122,18 @@ def main(model_dir: str, budget_s: float = 600.0, lr: float = 3e-4) -> None:
         if chex_ok:
             ts = ts._replace(params=payload["params"], model_state=payload["state"])
             if "opt_state" in payload:
-                ts = ts._replace(opt_state=jax.tree.map(jnp.asarray,
-                                                        payload["opt_state"]))
+                # a checkpoint written under a different optimizer build
+                # (e.g. pre/post the torch-exact AdamW rework) has a
+                # different opt_state pytree; restoring it would crash at
+                # the first update. Warm-start params only in that case.
+                restored = jax.tree.map(jnp.asarray, payload["opt_state"])
+                if (jax.tree.structure(restored)
+                        == jax.tree.structure(ts.opt_state)):
+                    ts = ts._replace(opt_state=restored)
+                else:
+                    print("checkpoint opt_state does not match the current "
+                          "optimizer; restarting optimizer state "
+                          "(params warm-started)")
             step0 = payload["epoch"]
             print(f"resumed from step {step0}")
         else:

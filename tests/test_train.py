@@ -336,3 +336,37 @@ class TestEndToEnd:
                        for n in names), (kind, names)
             assert f"0_{kind}_spec.png" in names, names
         assert any(n.startswith("0_lsnr_snr") for n in names), names
+
+
+class TestTrainDemoResume:
+    def test_opt_state_mismatch_warm_starts_params_only(self, tmp_path,
+                                                        monkeypatch, capsys):
+        """A checkpoint written under a different optimizer build must not
+        crash the demo trainer at the first update (regression: the r05
+        torch-exact AdamW rework changed the opt_state pytree; resuming an
+        older checkpoint raised TypeError inside inject_hyperparams).
+        Params warm-start; the optimizer state restarts with a warning."""
+        import pickle
+
+        from deepfilternet_tpu.scripts import train_demo
+
+        base = str(tmp_path / "demo")
+        os.makedirs(base)
+        monkeypatch.setenv("DEMO_POOLS", "1")
+        monkeypatch.setenv("DEMO_BATCH", "2")
+        monkeypatch.setenv("DEMO_MAX_LEN_S", "1.0")
+        train_demo.main(base, budget_s=1.0)
+        ckpt_dir = os.path.join(base, "checkpoints")
+        names = [n for n in os.listdir(ckpt_dir) if n.startswith("model_")]
+        assert names
+        path = os.path.join(ckpt_dir, names[0])
+        payload = pickle.load(open(path, "rb"))
+        assert "opt_state" in payload
+        # simulate an opt_state from a different optimizer build
+        payload["opt_state"] = {"junk": np.zeros(1, np.float32)}
+        pickle.dump(payload, open(path, "wb"))
+        capsys.readouterr()
+        train_demo.main(base, budget_s=1.0)  # must not raise
+        out = capsys.readouterr().out
+        assert "restarting optimizer state" in out
+        assert "resumed from step" in out
