@@ -324,3 +324,49 @@ class TestFractionalSampling:
         # deterministic per epoch seed
         td.set_epoch(3); a = len(td)
         td.set_epoch(3); assert len(td) == a
+
+
+class TestVtlpPoolGrowth:
+    """scripts/make_vtlp_pool.py — the curriculum data-ceiling tool: grow
+    the clean pool with deterministic VTLP pseudo-speakers and train on it
+    through an extra Hdf5Cfg (train_demo's DEMO_EXTRA_CLEAN knob;
+    pretrained/README.md r05 row)."""
+
+    def test_pool_generates_and_feeds_tddataset(self, tmp_path):
+        import os
+        import subprocess
+        import sys
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        out = tmp_path / "clean_vtlp.hdf5"
+        r = subprocess.run(
+            [sys.executable, os.path.join(repo, "scripts", "make_vtlp_pool.py"),
+             f"{ASSETS}/clean.hdf5", str(out), "--alphas", "0.92,1.08"],
+            capture_output=True, text=True,
+            env={**os.environ, "JAX_PLATFORMS": "cpu"})
+        assert r.returncode == 0, r.stderr
+
+        ds = Hdf5Dataset(str(out))
+        keys = ds.keys("speech")
+        assert len(keys) == 2 and all("_vtlp" in k for k in keys)
+        assert ds.sr == 48000 and ds.codec == "pcm"
+
+        # warped copies are real audio, not silence or byte copies
+        src = Hdf5Dataset(f"{ASSETS}/clean.hdf5")
+        k0 = src.keys("speech")[0]
+        a = src.read("speech", k0)
+        w = ds.read("speech", keys[0])
+        assert w.shape == a.shape
+        assert np.all(np.isfinite(w)) and np.abs(w).max() > 0.01
+        assert not np.allclose(w, a, atol=1e-3)
+
+        # the grown pool mixes through TdDataset exactly like the original
+        os.symlink(f"{ASSETS}/clean.hdf5", tmp_path / "clean.hdf5")
+        os.symlink(f"{ASSETS}/noise_flac.hdf5", tmp_path / "noise_flac.hdf5")
+        cfgs = [Hdf5Cfg("clean.hdf5", 2), Hdf5Cfg("clean_vtlp.hdf5", 1),
+                Hdf5Cfg("noise_flac.hdf5", 1)]
+        td = TdDataset(str(tmp_path), cfgs, "train", max_len_s=0.5, seed=3)
+        assert len(td) == 2 + 2  # 1 original key x2 + 2 pseudo-speakers x1
+        s = td.get_sample(len(td) - 1, seed=0)
+        assert np.all(np.isfinite(s["noisy"]))
+        assert not np.allclose(s["speech"], s["noisy"])
